@@ -171,9 +171,37 @@ CHUNK_STRUCT = T.ArrayType(
     )
 )
 
+def word_chunker(
+    document: str, max_chunk_length: int = 500
+) -> Tuple[List[str], List[Tuple[int, int]]]:
+    """Fallback chunker for terminator-less text (our addition, in the spirit
+    of the reference's strategy-fallback chain C7, vector_db.py:71-129):
+    greedy-pack whitespace tokens into chunks of <= max_chunk_length chars,
+    spans over the original string. A single token longer than the limit
+    becomes its own chunk (never split mid-token)."""
+    chunks: List[str] = []
+    spans: List[Tuple[int, int]] = []
+    start = None
+    end = 0
+    for m in re.finditer(r"\S+", document):
+        if start is None:
+            start, end = m.start(), m.end()
+        elif m.end() - start > max_chunk_length:
+            chunks.append(document[start:end])
+            spans.append((start, end))
+            start, end = m.start(), m.end()
+        else:
+            end = m.end()
+    if start is not None:
+        chunks.append(document[start:end])
+        spans.append((start, end))
+    return chunks, spans
+
+
 _CHUNKERS = {
     "simple": simple_sentence_chunker,
     "enhanced": enhanced_chunk_document,
+    "words": word_chunker,
 }
 
 
