@@ -1,0 +1,217 @@
+"""Main-content extraction from HTML (north-rule core operator).
+
+The reference converts documents with Docling's ML models
+(``processor.py:285-319``, batched ``convert_all`` with per-doc error
+isolation). The north rule replaces that with a from-scratch, model-free
+**boilerplate stripper** in the jusText/Readability family: segment the DOM
+into blocks, classify each block content-vs-boilerplate by link density and
+length, emit the concatenated kept blocks plus per-document extraction
+metrics. All of it runs inside an Arrow-batched pandas UDF — the per-row
+try/except replaces the reference's ``raises_on_error=False`` tri-state
+(``processor.py:296-311``): one bad page NEVER fails a task of a billion.
+
+Deterministic and dependency-free (stdlib ``html.parser``), so extracted
+bytes are reproducible anywhere — the byte-identical-per-url invariant.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Tags that open a new text block (display:block-ish elements).
+BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li td th pre blockquote article section "
+    "main figcaption dd dt caption summary".split()
+)
+# Subtrees dropped wholesale — never content.
+DROP_TAGS = frozenset(
+    "script style nav header footer aside form noscript iframe svg "
+    "button select option template".split()
+)
+
+MIN_BLOCK_CHARS = 10
+MAX_LINK_DENSITY = 0.35
+
+
+@dataclass
+class Block:
+    tag: str
+    parts: List[str]
+    link_chars: int = 0
+
+    @property
+    def text(self) -> str:
+        return "".join(self.parts).strip()
+
+    @property
+    def link_density(self) -> float:
+        n = len(self.text)
+        return (self.link_chars / n) if n else 1.0
+
+
+class _BlockParser(HTMLParser):
+    """Flat block segmentation: any BLOCK_TAG boundary flushes the current
+    block; text inside DROP_TAGS subtrees is discarded; characters inside
+    <a> count toward link density."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[Block] = []
+        self._current: Optional[Block] = None
+        self._drop_depth = 0
+        self._link_depth = 0
+
+    def _flush(self) -> None:
+        if self._current is not None and self._current.text:
+            self.blocks.append(self._current)
+        self._current = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            self._flush()
+            return
+        if self._drop_depth:
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._current = Block(tag, [])
+
+    def handle_endtag(self, tag):
+        if tag in DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._drop_depth or not data:
+            return
+        if self._current is None:
+            if not data.strip():
+                return
+            self._current = Block("_implicit", [])
+        self._current.parts.append(data)
+        if self._link_depth:
+            self._current.link_chars += len(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def classify_blocks(blocks: List[Block]) -> List[Tuple[Block, bool]]:
+    """Keep rule: enough text AND not link-dominated. Headings (h*) ride
+    along when any content block was kept (jusText's near-good idea,
+    simplified to stay deterministic)."""
+    decisions: List[Tuple[Block, bool]] = []
+    any_content = any(
+        len(b.text) >= MIN_BLOCK_CHARS
+        and b.link_density < MAX_LINK_DENSITY
+        and not b.tag.startswith("h")
+        for b in blocks
+    )
+    for b in blocks:
+        if b.tag.startswith("h") and len(b.tag) == 2:
+            keep = any_content and b.link_density < MAX_LINK_DENSITY and bool(b.text)
+        else:
+            keep = len(b.text) >= MIN_BLOCK_CHARS and b.link_density < MAX_LINK_DENSITY
+        decisions.append((b, keep))
+    return decisions
+
+
+def extract_main_content(html_bytes: Optional[bytes]) -> dict:
+    """Pure core: html bytes -> extracted text + metrics (never raises)."""
+    if html_bytes is None or len(html_bytes) == 0:
+        return dict(
+            text="", status="empty", blocks_kept=0, blocks_dropped=0, error=None
+        )
+    try:
+        raw = html_bytes.decode("utf-8")
+    except UnicodeDecodeError as ex:
+        return dict(
+            text="",
+            status="decode_error",
+            blocks_kept=0,
+            blocks_dropped=0,
+            error=str(ex)[:200],
+        )
+    try:
+        parser = _BlockParser()
+        parser.feed(raw)
+        parser.close()
+        decisions = classify_blocks(parser.blocks)
+        kept = [b.text for b, keep in decisions if keep]
+        dropped = sum(1 for _, keep in decisions if not keep)
+        text = "\n\n".join(kept)
+        status = "ok" if kept else "no_content"
+        return dict(
+            text=text,
+            status=status,
+            blocks_kept=len(kept),
+            blocks_dropped=dropped,
+            error=None,
+        )
+    except Exception as ex:  # malformed beyond HTMLParser's tolerance
+        return dict(
+            text="",
+            status="parse_error",
+            blocks_kept=0,
+            blocks_dropped=0,
+            error=str(ex)[:200],
+        )
+
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("blocks_kept", T.IntegerType(), False),
+        T.StructField("blocks_dropped", T.IntegerType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+@F.pandas_udf(EXTRACT_SCHEMA)
+def extract_udf(html: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([extract_main_content(h) for h in html])
+
+
+def extract_pages(
+    pages: DataFrame, html_col: str = "html", max_bytes: int = 100 * 1024 * 1024
+) -> DataFrame:
+    """The scan→extract boundary (ref processor.py:285-319 rebuilt).
+
+    Adds ``extracted: struct<text,status,blocks_kept,blocks_dropped,error>``.
+    The size guard (ref processor.py:231-237, 100 MB limit) is a codegen'd
+    pre-filter on ``length(html)`` so oversized blobs are marked 'oversize'
+    without ever crossing into Python.
+    """
+    oversize = F.length(F.col(html_col)) > max_bytes
+    return pages.withColumn(
+        "extracted",
+        F.when(
+            oversize,
+            F.struct(
+                F.lit("").alias("text"),
+                F.lit("oversize").alias("status"),
+                F.lit(0).alias("blocks_kept"),
+                F.lit(0).alias("blocks_dropped"),
+                F.lit(None).cast("string").alias("error"),
+            ),
+        ).otherwise(extract_udf(F.col(html_col))),
+    )

@@ -1,0 +1,85 @@
+"""Checkpoint-resume semantics: a killed run completes only pending buckets
+on restart; reruns are idempotent (no double counting)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_japanese_books_spark.extraction.pages import generate_pages
+from docling_japanese_books_spark.pipeline.driver import (
+    completed_buckets,
+    read_manifest,
+    run_extraction_pipeline,
+)
+
+N_PAGES = 400
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def out_dir():
+    d = tempfile.mkdtemp(prefix="pipe_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kill_and_resume(spark, out_dir):
+    pages = generate_pages(spark, N_PAGES, seed=42)
+
+    # "killed" run: only 1 wave of 3 buckets completes
+    r1 = run_extraction_pipeline(
+        spark, pages, out_dir, run_id="r1", n_buckets=N_BUCKETS, wave_size=3, max_waves=1
+    )
+    assert len(r1.buckets_processed) == 3
+    assert completed_buckets(spark, out_dir) == set(r1.buckets_processed)
+
+    # resume: completes only the remaining buckets
+    r2 = run_extraction_pipeline(
+        spark, pages, out_dir, run_id="r2", n_buckets=N_BUCKETS, wave_size=3
+    )
+    assert set(r2.buckets_skipped) == set(r1.buckets_processed)
+    assert sorted(r1.buckets_processed + r2.buckets_processed) == list(range(N_BUCKETS))
+
+    # output complete, no duplicates
+    data = spark.read.parquet(f"{out_dir}/data")
+    assert data.count() == N_PAGES
+    assert data.select("url").distinct().count() == N_PAGES
+
+    # manifest: one row per bucket, lineage split across the two runs
+    m = read_manifest(spark, out_dir)
+    assert m.count() == N_BUCKETS
+    runs = {r.run_id for r in m.select("run_id").distinct().collect()}
+    assert runs == {"r1", "r2"}
+    assert m.filter(F.col("rows_out") <= 0).count() == 0
+    total = m.agg(F.sum("rows_out").alias("s")).collect()[0].s
+    assert total == N_PAGES
+
+
+def test_rerun_is_idempotent(spark, out_dir):
+    pages = generate_pages(spark, 200, seed=7)
+    run_extraction_pipeline(
+        spark, pages, out_dir, run_id="a", n_buckets=4, wave_size=4
+    )
+    before = spark.read.parquet(f"{out_dir}/data").count()
+    # second full run: everything skipped, data unchanged
+    r = run_extraction_pipeline(
+        spark, pages, out_dir, run_id="b", n_buckets=4, wave_size=4
+    )
+    assert r.buckets_processed == []
+    assert spark.read.parquet(f"{out_dir}/data").count() == before
+
+
+def test_extraction_output_byte_identical(spark, out_dir):
+    pages = generate_pages(spark, 200, seed=42)
+    run_extraction_pipeline(
+        spark, pages, out_dir, run_id="x", n_buckets=4, wave_size=4
+    )
+    data = spark.read.parquet(f"{out_dir}/data")
+    joined = data.alias("o").join(
+        pages.select("url", F.col("text").alias("expected")).alias("p"), "url"
+    )
+    assert joined.filter("text <> expected").count() == 0
