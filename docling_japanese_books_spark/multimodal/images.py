@@ -1,0 +1,112 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference extracts PNGs from PDFs, hashes them, and manifests them
+(``image_processor.py:29-153,204-227``, S9). Here the Spark-side plumbing is
+real — schemas, batch iteration, partitioning, manifest aggregation — while
+the pixel decode is STUBBED (image libs are not in this container): the
+default ``decode_fn`` is a clearly-marked deterministic fake; pass a real
+one (PIL-based) in an environment that has it. ``decode_image_real`` raises
+NotImplementedError unless PIL is importable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("image_index", T.IntegerType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic FAKE decode (stub): derives pseudo width/height/format
+    and an 8-dim feature purely from the byte content. Replace with a real
+    decoder where PIL/ffmpeg exist; the Spark plumbing is identical."""
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    fmt = ["png", "jpeg", "webp"][digest[2] % 3]
+    feature = [
+        (int.from_bytes(digest[4 * i : 4 * i + 4], "little") % 1000) / 1000.0
+        for i in range(8)
+    ]
+    return dict(width=width, height=height, format=fmt, feature=feature)
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real decode path — gated on PIL availability."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+    except ImportError as ex:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "real image decode requires PIL; use fake_decode or install pillow"
+        ) from ex
+    img = Image.open(io.BytesIO(payload))
+    return dict(
+        width=img.width, height=img.height, format=(img.format or "").lower(), feature=None
+    )
+
+
+def extract_image_features(
+    images: DataFrame,
+    payload_col: str = "payload",
+    doc_col: str = "doc_id",
+    index_col: str = "image_index",
+    decode_fn: Optional[Callable[[bytes], dict]] = None,
+) -> DataFrame:
+    """mapInPandas over binary payloads -> typed metadata + feature vector.
+
+    Batch shape: one Arrow batch of (doc_id, image_index, payload) in,
+    one batch of IMAGE_META_SCHEMA out. Per-row try/except — a corrupt blob
+    yields null metadata, never a task failure."""
+    decode = decode_fn or fake_decode
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, idx, payload in zip(
+                pdf[doc_col], pdf[index_col], pdf[payload_col]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                base = dict(
+                    doc_id=int(doc_id),
+                    image_index=int(idx),
+                    sha256=hashlib.sha256(payload).hexdigest(),
+                    n_bytes=len(payload),
+                )
+                try:
+                    base.update(decode(payload))
+                except Exception:
+                    base.update(width=None, height=None, format=None, feature=None)
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(op, IMAGE_META_SCHEMA)
+
+
+def image_manifest(meta: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """S9 manifest (ref image_processor.py:204-227): per-doc image inventory.
+    hashes capped at 5 like the reference's image_hashes[:5]
+    (vector_db.py:273-275)."""
+    return meta.groupBy(doc_col).agg(
+        F.count("*").alias("n_images"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.slice(F.sort_array(F.collect_list("sha256")), 1, 5).alias("image_hashes"),
+    )

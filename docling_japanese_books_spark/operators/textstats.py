@@ -1,0 +1,81 @@
+"""Text-analysis operators for training-data curation (task brief:
+language-ID, quality scoring, token counting, fingerprinting).
+
+Everything is JVM-side column algebra (regexp_count / length arithmetic)
+so it rides whole-stage codegen — these run over every document of a
+100 TB corpus, and a Python UDF here would dominate the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .normalize import normalize_cjk_udf  # noqa: F401  (re-export for pipelines)
+
+# small, high-frequency stopword sets per language — enough signal for a
+# coarse n-gram-free heuristic language id (word-boundary regexes behave
+# identically in Java regex and RE2, which keeps the op oracle-checkable)
+STOPWORDS = {
+    "en": r"\b(?:the|and|of|to|in|is|that|it|for|was)\b",
+    "fr": r"\b(?:le|la|les|de|des|et|un|une|est|que)\b",
+    "es": r"\b(?:el|la|los|de|y|un|una|es|que|en)\b",
+    "de": r"\b(?:der|die|das|und|ist|ein|eine|zu|den|von)\b",
+}
+JA_SCRIPT = r"[぀-ゟ゠-ヿ一-龯]"
+ZH_ONLY = r"[一-龯]"
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    return F.coalesce(F.regexp_count(F.lower(col), F.lit(STOPWORDS[lang])), F.lit(0))
+
+
+def lang_id(col: Column) -> Column:
+    """Coarse language id: 'ja' if CJK-script-dominant, else the latin
+    language with the most stopword hits; 'und' when nothing matches."""
+    total = F.greatest(F.length(col), F.lit(1))
+    cjk_ratio = F.regexp_count(col, F.lit(JA_SCRIPT)).cast("double") / total
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    latin = (
+        F.when(best == 0, F.lit("und"))
+        .when(hits["en"] == best, F.lit("en"))
+        .when(hits["fr"] == best, F.lit("fr"))
+        .when(hits["es"] == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return F.when(cjk_ratio > 0.2, F.lit("ja")).otherwise(latin)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for blank text."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword proxy: count of word pieces + digits + punctuation
+    runs (a deterministic stand-in for a real tokenizer's token count)."""
+    return F.coalesce(
+        F.regexp_count(col, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")), F.lit(0)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality in [0,1]: length signal, moderate punctuation,
+    healthy stopword ratio, low uppercase-shouting ratio. A jusText/C4-style
+    keep signal for corpus filtering."""
+    n = F.greatest(F.length(col), F.lit(1)).cast("double")
+    toks = F.greatest(token_count(col), F.lit(1)).cast("double")
+    length_score = F.least(n / 500.0, F.lit(1.0))
+    punct_ratio = F.regexp_count(col, F.lit(r"[.,;:!?。！？、]")).cast("double") / toks
+    punct_score = F.when(punct_ratio > 0.5, F.lit(0.0)).otherwise(1.0 - punct_ratio)
+    upper_ratio = F.regexp_count(col, F.lit(r"[A-Z]")).cast("double") / n
+    upper_score = F.when(upper_ratio > 0.3, F.lit(0.3)).otherwise(F.lit(1.0))
+    stop_ratio = stopword_hits(col, "en").cast("double") / toks
+    stop_score = F.least(stop_ratio * 4.0, F.lit(1.0))
+    return F.round(
+        0.3 * length_score + 0.2 * punct_score + 0.2 * upper_score + 0.3 * stop_score,
+        6,
+    )

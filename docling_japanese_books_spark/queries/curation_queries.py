@@ -1,0 +1,221 @@
+"""Training-data curation queries: dedup, similarity search, text analysis,
+multimodal manifests — the large-scale-pipeline operators (task brief),
+each driver-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    char_ngrams,
+    jaccard,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+)
+from ..operators.similarity import topk_bruteforce, topk_lsh
+from ..operators.textstats import bpe_ish_token_count, lang_id, quality_score
+from ..multimodal.images import extract_image_features, image_manifest
+from .relational import query, r6, t
+
+
+def _with_planted_near_dups(docs: DataFrame, n: int = 20) -> DataFrame:
+    """Deterministically append near-duplicate copies of the first n docs
+    (id + 1_000_000, text + one extra token) so dedup queries have a known
+    positive set on any corpus."""
+    dups = (
+        docs.filter(F.col("doc_id") < n)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(dups)
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs over documents + planted dups.
+    Rows-only (hash-permutation specifics aren't SQL-expressible); recall
+    on the planted pairs is pinned by tests/test_dedup.py."""
+    docs = _with_planted_near_dups(t(spark, sf_dir, "documents"))
+    return minhash_lsh_candidates(docs, threshold=0.5).select(
+        "id_a", "id_b", r6(F.col("est_jaccard")).alias("est_jaccard")
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) over documents + planted dups."""
+    docs = _with_planted_near_dups(t(spark, sf_dir, "documents"))
+    return simhash_near_dups(docs, max_hamming=3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+                 THEN len(list_intersect(a.g, b.g)) * 1.0
+                      / len(list_distinct(list_concat(a.g, b.g)))
+                 ELSE 0.0 END, 6) AS jaccard3
+    FROM (SELECT doc_id, CASE WHEN length(text) >= 3
+                 THEN list_distinct(list_transform(range(1, length(text) - 1),
+                      i -> substr(text, CAST(i AS INT), 3))) ELSE [] END AS g
+          FROM documents) a
+    JOIN (SELECT doc_id, CASE WHEN length(text) >= 3
+                 THEN list_distinct(list_transform(range(1, length(text) - 1),
+                      i -> substr(text, CAST(i AS INT), 3))) ELSE [] END AS g
+          FROM documents) b
+      ON a.doc_id + 1 = b.doc_id
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard between consecutive doc pairs — pure column
+    algebra (sequence/substr/array_intersect), oracle-checked against
+    DuckDB's list functions."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", char_ngrams(F.col("text"), 3).alias("g")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        r6(jaccard(F.col("a.g"), F.col("b.g"))).alias("jaccard3"),
+    )
+
+
+_COS = """
+    list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),
+                     list_transform({b}, x -> CAST(x AS DOUBLE)))
+    / NULLIF(sqrt(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),
+                                   list_transform({a}, x -> CAST(x AS DOUBLE))))
+           * sqrt(list_dot_product(list_transform({b}, x -> CAST(x AS DOUBLE)),
+                                   list_transform({b}, x -> CAST(x AS DOUBLE)))), 0)
+"""
+
+
+@query(
+    "similarity_topk_batch",
+    f"""
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round(coalesce({_COS.format(a="c.embedding", b="q.embedding")}, 0.0), 6) AS score,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(coalesce({_COS.format(a="c.embedding", b="q.embedding")}, 0.0), 6) DESC,
+                        c.vec_id) AS INT) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 3) c)
+    WHERE rank <= 3
+    """,
+)
+def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN baseline: brute-force cosine top-3 for a 3-query batch
+    (J2/T1 generalized to query batches)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    out = topk_bruteforce(queries, corpus, k=3)
+    # round score BEFORE ranking so float ulps can't flip tie order vs duckdb
+    return out.select("query_id", "vec_id", r6(F.col("score")).alias("score"), "rank")
+
+
+@query("similarity_topk_lsh")
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100-TB path). Rows-only; recall
+    vs brute force is pinned in tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return topk_lsh(queries, corpus, dim=64, k=3, n_planes=4).select(
+        "query_id", "vec_id", r6(F.col("score")).alias("score"), "rank"
+    )
+
+
+@query(
+    "doc_lang_quality",
+    """
+    SELECT doc_id,
+           CASE WHEN len(regexp_extract_all(text, '[぀-ゟ゠-ヿ一-龯]')) * 1.0
+                     / greatest(length(text), 1) > 0.2 THEN 'ja'
+                ELSE (
+                  CASE WHEN greatest(en_h, fr_h, es_h, de_h) = 0 THEN 'und'
+                       WHEN en_h = greatest(en_h, fr_h, es_h, de_h) THEN 'en'
+                       WHEN fr_h = greatest(en_h, fr_h, es_h, de_h) THEN 'fr'
+                       WHEN es_h = greatest(en_h, fr_h, es_h, de_h) THEN 'es'
+                       ELSE 'de' END) END AS lang_guess,
+           bpe_tokens
+    FROM (
+      SELECT doc_id, text,
+        len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|in|is|that|it|for|was)\\b')) AS en_h,
+        len(regexp_extract_all(lower(text), '\\b(?:le|la|les|de|des|et|un|une|est|que)\\b'))  AS fr_h,
+        len(regexp_extract_all(lower(text), '\\b(?:el|la|los|de|y|un|una|es|que|en)\\b'))     AS es_h,
+        len(regexp_extract_all(lower(text), '\\b(?:der|die|das|und|ist|ein|eine|zu|den|von)\\b')) AS de_h,
+        len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens
+      FROM documents)
+    """,
+)
+def doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + BPE-ish token count (curation text analysis)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_guess"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@query("doc_quality_score")
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (rows-only: formula is ours, pinned by
+    tests/test_textstats.py)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+@query(
+    "image_manifest",
+    """
+    SELECT doc_id, count(*) AS n_images, sum(n_bytes) AS total_bytes,
+           (array_agg(sha ORDER BY sha))[1:5] AS image_hashes
+    FROM (
+      SELECT doc_id, sha256(text) AS sha, length(text) AS n_bytes FROM documents
+      UNION ALL
+      SELECT doc_id, sha256(reverse(text)), length(text) FROM documents)
+    GROUP BY doc_id
+    """,
+)
+def image_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 image manifest over a synthesized 2-images-per-doc binary table
+    (payloads derived from text so DuckDB can reproduce the hashes)."""
+    docs = t(spark, sf_dir, "documents")
+    images = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("image_index"), F.encode("text", "utf-8").alias("payload")),
+                F.struct(F.lit(1).alias("image_index"), F.encode(F.reverse("text"), "utf-8").alias("payload")),
+            )
+        ).alias("img"),
+    ).select("doc_id", "img.image_index", "img.payload")
+    meta = extract_image_features(images)
+    return image_manifest(meta)
+
+
+@query("image_features")
+def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature plumbing (stubbed decode, real Spark
+    batch shape). Rows-only."""
+    docs = t(spark, sf_dir, "documents")
+    images = docs.select(
+        "doc_id",
+        F.lit(0).alias("image_index"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_image_features(images)

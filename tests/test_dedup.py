@@ -1,0 +1,83 @@
+"""Dedup operator semantics: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_japanese_books_spark.operators.dedup import (
+    char_ngrams,
+    dedup_exact,
+    jaccard,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+    _simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun with great interest"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE + " extra"),          # near-dup of 0
+        (2, BASE),                     # exact dup of 0
+        (3, "completely different content about spark dataframes and shuffles"),
+        (4, "another unrelated document mentioning parquet and catalyst rules"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark, docs):
+    kept = dedup_exact(docs)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 2 not in ids  # lowest id survives
+    assert ids == {0, 1, 3, 4}
+
+
+def test_minhash_finds_near_dups_not_random(spark, docs):
+    pairs = minhash_lsh_candidates(docs, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found
+    assert (0, 2) in found
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert est[(0, 2)] == 1.0  # exact dup -> identical signatures
+    assert (0, 3) not in found and (3, 4) not in found
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, docs):
+    # true char-4-gram jaccard of BASE vs BASE+' extra'
+    a = {BASE[i : i + 4] for i in range(len(BASE) - 3)}
+    t2 = BASE + " extra"
+    b = {t2[i : i + 4] for i in range(len(t2) - 3)}
+    true_j = len(a & b) / len(a | b)
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in
+             minhash_lsh_candidates(docs, threshold=0.3).collect()}
+    assert abs(pairs[(0, 1)] - true_j) < 0.15  # 64 perms -> ~1/8 std error
+
+
+def test_simhash_identical_and_near(spark, docs):
+    assert _simhash64(BASE) == _simhash64(BASE)
+    pairs = simhash_near_dups(docs, max_hamming=6).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found.get((0, 2)) == 0  # exact dup -> hamming 0
+    assert (0, 1) in found  # one extra token -> few bits flip
+    assert (0, 3) not in found
+
+
+def test_char_ngrams_short_string_is_empty(spark):
+    df = spark.createDataFrame([("ab",), ("abc",), ("",)], "t string")
+    out = df.select(F.size(char_ngrams(F.col("t"), 3)).alias("n")).collect()
+    assert [r.n for r in out] == [0, 1, 0]
+
+
+def test_jaccard_column(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>")
+    v = df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0].j
+    assert abs(v - 0.5) < 1e-9
+    empty = spark.createDataFrame([([], [])], "x array<string>, y array<string>")
+    assert empty.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0].j == 0.0

@@ -1,0 +1,63 @@
+"""Similarity search: brute-force exactness + LSH approximation properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_japanese_books_spark.operators.similarity import (
+    lsh_bucket,
+    topk_bruteforce,
+    topk_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_bruteforce_self_query_ranks_first(spark, emb):
+    queries = emb.filter("vec_id = 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = topk_bruteforce(queries, emb, k=1).collect()
+    assert out[0].vec_id == 10 and abs(out[0].score - 1.0) < 1e-9
+
+
+def test_bruteforce_k_rows_per_query(spark, emb):
+    queries = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = topk_bruteforce(queries, emb.filter("vec_id >= 4"), k=5)
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts) and len(counts) == 4
+
+
+def test_lsh_self_query_finds_itself(spark, emb):
+    queries = emb.filter("vec_id = 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = topk_lsh(queries, emb, dim=64, k=1, n_planes=6).collect()
+    assert out and out[0].vec_id == 10  # same vector -> same bucket, score 1
+
+
+def test_lsh_results_subset_of_bruteforce_scores(spark, emb):
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter("vec_id >= 3")
+    bf = {
+        (r.query_id, r.vec_id): r.score
+        for r in topk_bruteforce(queries, corpus, k=1000).collect()
+    }
+    approx = topk_lsh(queries, corpus, dim=64, k=5, n_planes=4).collect()
+    for r in approx:
+        assert abs(bf[(r.query_id, r.vec_id)] - r.score) < 1e-9
+
+
+def test_lsh_bucket_deterministic(spark, emb):
+    a = emb.select(lsh_bucket(F.col("embedding"), 64, 8, seed=1).alias("b")).collect()
+    b = emb.select(lsh_bucket(F.col("embedding"), 64, 8, seed=1).alias("b")).collect()
+    assert [r.b for r in a] == [r.b for r in b]
+    assert all(0 <= r.b < 256 for r in a)

@@ -1,0 +1,93 @@
+"""Text-analysis column functions: lang-id, token counts, quality score."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_japanese_books_spark.functions.text import (
+    japanese_confidence,
+    has_japanese,
+    preview,
+)
+from docling_japanese_books_spark.operators.normalize import normalize_cjk
+from docling_japanese_books_spark.operators.textstats import (
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        (0, "the cat and the dog went to the park and it was fun for it"),
+        (1, "le chat et le chien sont dans la maison et la vie est belle"),
+        (2, "el perro y el gato en la casa es que los dos son amigos"),
+        (3, "der hund und die katze sind ein team und das ist von allen zu sehen"),
+        (4, "これは日本語の文章です。漢字とひらがなが混ざっています。"),
+        (5, ""),
+        (6, "zzz qqq xxx www"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_lang_id(spark, tdf):
+    out = {r.id: r.lang for r in tdf.select("id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "fr"
+    assert out[2] == "es"
+    assert out[3] == "de"
+    assert out[4] == "ja"
+    assert out[6] == "und"
+
+
+def test_token_counts(spark, tdf):
+    out = {r.id: (r.n, r.b) for r in tdf.select(
+        "id",
+        token_count(F.col("text")).alias("n"),
+        bpe_ish_token_count(F.col("text")).alias("b"),
+    ).collect()}
+    assert out[0][0] == 15
+    assert out[5][0] == 0
+    assert out[0][1] >= out[0][0]  # subword proxy >= word count
+
+
+def test_quality_score_bounds(spark, tdf):
+    out = tdf.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_quality_orders_good_above_garbage(spark, tdf):
+    out = {r.id: r.q for r in tdf.select("id", quality_score(F.col("text")).alias("q")).collect()}
+    assert out[0] > out[6]  # real English beats keyboard mash
+
+
+def test_japanese_confidence_reference_semantics(spark):
+    # mirrors ref tests/test_basic.py:189-214: JP-dense -> True, EN -> False
+    rows = [(0, "これはひらがなとカタカナと漢字です"), (1, "this is english text only")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: (r.c, r.h) for r in df.select(
+        "id",
+        japanese_confidence(F.col("text")).alias("c"),
+        has_japanese(F.col("text")).alias("h"),
+    ).collect()}
+    assert out[0][1] is True and out[0][0] > 0.3
+    assert out[1][1] is False
+
+
+def test_preview_truncation(spark):
+    long_text = "x" * 100 + "\nnewline"
+    df = spark.createDataFrame([(long_text,), ("short",)], "text string")
+    out = [r.p for r in df.select(preview(F.col("text")).alias("p")).collect()]
+    assert out[0] == "x" * 80 + "..."
+    assert out[1] == "short"
+
+
+def test_normalize_cjk_pure():
+    assert normalize_cjk("ＡＢＣ１２３") == "ABC123"
+    assert normalize_cjk("ｶﾀｶﾅ") == "カタカナ"
+    assert normalize_cjk("a　b") == "a b"  # ideographic space folded
+    assert normalize_cjk("a\r\nb\rc") == "a\nb\nc"
+    assert normalize_cjk(None) is None
