@@ -1,0 +1,196 @@
+"""Benchmark harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS], plus the north-rule
+two-cluster-size scaling evidence.
+
+Scaling methodology (documented in BENCH/BASELINE.md):
+- the job = parquet scan of a materialized synthetic pages corpus ->
+  boilerplate-strip UDF -> status aggregation (the end-to-end extract path);
+- run at N and 4N cores in SEPARATE subprocesses pinned with taskset, so
+  "N cores" means N physical CPUs for JVM + Python workers combined —
+  unpinned local[N] only limits task slots while JVM/Python threads spill
+  onto all CPUs and inflate the small-N baseline;
+- N defaults to CPUS/16 (2 when CPUS=32): this sandbox is a shared box with
+  double-digit host load averages, and leaving free CPUs for that noise
+  keeps the measurement about OUR job's scaling, not the neighbors';
+- visits are interleaved (N, 4N, N, 4N) with a warm-up run per visit and
+  min-of-reps per config, so host-load drift biases neither side.
+
+Prints exactly ONE JSON line to stdout; progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_SMALL = max(1, CPUS // 16)
+N_BIG = N_SMALL * 4
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
+REPS_PER_VISIT = 2
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "orders_rank_in_customer",
+    "events_hourly_by_type",
+    "emb_context_preservation",
+    "emb_cosine_topk",
+    "doc_lang_quality",
+    "extract_roundtrip",
+    "chunk_simple",
+    "dedup_minhash_lsh",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# child mode: one pinned scaling visit
+# ---------------------------------------------------------------------------
+
+
+def scaling_child(cores: int, pages_path: str) -> None:
+    from docling_japanese_books_spark.session import get_spark
+    from docling_japanese_books_spark.extraction.html import extract_pages
+    from pyspark.sql import functions as F
+
+    spark = get_spark(
+        f"scale{cores}",
+        cores=cores,
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "2048"},
+    )
+
+    def job():
+        pages = spark.read.parquet(pages_path)
+        return (
+            extract_pages(pages)
+            .groupBy("extracted.status")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+    rows = job()  # warm-up: JIT, python workers, page cache
+    n_docs = sum(r.n for r in rows)
+    times = []
+    for _ in range(REPS_PER_VISIT):
+        t0 = time.time()
+        job()
+        times.append(time.time() - t0)
+    print(json.dumps({"n_docs": n_docs, "times": times}), flush=True)
+    spark.stop()
+
+
+def run_visit(cores: int, pages_path: str) -> dict:
+    cmd = [sys.executable, str(REPO / "bench.py"), "--scaling-child", str(cores), pages_path]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=str(REPO), env=os.environ
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+
+def run_headline(spark) -> dict:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    # warm-up: touch every fixture table + compile one trivial plan so the
+    # first timed query doesn't absorb JVM JIT + footer reads
+    from docling_japanese_books_spark.session import TABLES
+
+    for name in TABLES:
+        spark.read.parquet(f"{SF_DIR}/{name}.parquet").count()
+
+    times = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+        log(f"  {name}: {times[name]}s")
+    return times
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        scaling_child(int(sys.argv[2]), sys.argv[3])
+        return
+
+    t_start = time.time()
+    tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    pages_path = str(Path(tmp) / "pages")
+    try:
+        from docling_japanese_books_spark.session import get_spark
+        from docling_japanese_books_spark.extraction.pages import generate_pages
+
+        spark = get_spark("bench", cores=CPUS)
+        log(f"materializing {BENCH_PAGES} heavy pages -> {pages_path}")
+        generate_pages(
+            spark, BENCH_PAGES, seed=42, min_paras=10, max_paras=30
+        ).repartition(CPUS * 8).write.mode("overwrite").parquet(pages_path)
+
+        log(f"headline queries at local[{CPUS}] on {SF_DIR}")
+        times = run_headline(spark)
+        spark.stop()
+
+        # interleaved pinned scaling visits: N, 4N, N, 4N
+        samples = {N_SMALL: [], N_BIG: []}
+        n_docs = 0
+        for cores in (N_SMALL, N_BIG, N_SMALL, N_BIG):
+            log(f"scaling visit: {cores} pinned cores")
+            r = run_visit(cores, pages_path)
+            samples[cores].extend(r["times"])
+            n_docs = r["n_docs"]
+
+        t_small = min(samples[N_SMALL])
+        t_big = min(samples[N_BIG])
+        dps_small = n_docs / t_small
+        dps_big = n_docs / t_big
+        eff = dps_big / (4.0 * dps_small)
+
+        result = {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "extract_scaling": {
+                "pages": n_docs,
+                "cores_small": N_SMALL,
+                "cores_big": N_BIG,
+                "pinned": bool(shutil.which("taskset")),
+                "wall_sec_small": round(t_small, 3),
+                "wall_sec_big": round(t_big, 3),
+                "docs_per_sec_small": round(dps_small, 1),
+                "docs_per_sec_big": round(dps_big, 1),
+                "scaling_efficiency": round(eff, 3),
+                "samples_small": [round(x, 2) for x in samples[N_SMALL]],
+                "samples_big": [round(x, 2) for x in samples[N_BIG]],
+            },
+            "bench_total_sec": round(time.time() - t_start, 1),
+        }
+        print(json.dumps(result), flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

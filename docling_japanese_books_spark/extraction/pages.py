@@ -104,8 +104,13 @@ def _ads_html(rng: random.Random) -> str:
     return f'<div class="ads">{links}</div>'
 
 
-def make_page(seed: int, row_id: int) -> dict:
-    """Pure (seed, id) -> one pages row."""
+def make_page(seed: int, row_id: int, min_paras: int = 2, max_paras: int = 5) -> dict:
+    """Pure (seed, id) -> one pages row.
+
+    ``min_paras``/``max_paras`` control page weight: tests use the small
+    default; the bench uses 10-30 paragraphs (~10-40 KB html) to match real
+    Common-Crawl page sizes, where per-page parse work dominates fixed
+    per-row costs."""
     rng = random.Random(f"{seed}:{row_id}")
     host = _host_for(rng)
     url = f"https://{host}/p/{row_id}"
@@ -123,7 +128,7 @@ def make_page(seed: int, row_id: int) -> dict:
 
     is_jp = kind < 0.22  # ~20% CJK rows
     lang = "ja" if is_jp else "en"
-    n_paras = rng.randint(2, 5)
+    n_paras = rng.randint(min_paras, max_paras)
     if is_jp:
         paras = [_jp_paragraph(rng, rng.randint(2, 4)) for _ in range(n_paras)]
         title = "テスト文書" + str(row_id)
@@ -153,7 +158,13 @@ def make_page(seed: int, row_id: int) -> dict:
     )
 
 
-def generate_pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+def generate_pages(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    min_paras: int = 2,
+    max_paras: int = 5,
+) -> DataFrame:
     """Distributed deterministic generation: spark.range -> mapInPandas.
 
     Scale: embarrassingly parallel, no shuffle; each task derives its rows
@@ -163,7 +174,9 @@ def generate_pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame([make_page(seed, int(i)) for i in pdf["id"]])
+            yield pd.DataFrame(
+                [make_page(seed, int(i), min_paras, max_paras) for i in pdf["id"]]
+            )
 
     return spark.range(n).mapInPandas(gen, PAGES_SCHEMA)
 
