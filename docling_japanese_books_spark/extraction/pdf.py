@@ -1,0 +1,149 @@
+"""PDF layout parsing (north rule: "page segmentation, reading-order
+reconstruction for vertical Japanese text, furigana/ruby handling").
+
+The reference delegates PDF understanding to Docling's ML models
+(``processor.py:141-154``). Model-free rebuild, split at an explicit
+boundary:
+
+1. **pdf bytes -> layout IR**: STUBBED. Real PDF decoding needs a PDF
+   library this container doesn't ship; ``decode_pdf_real`` raises
+   NotImplementedError unless pypdf/pdfminer is importable. The layout IR —
+   what any decoder emits — is a JSON document of positioned text spans:
+   ``{"pages": [{"width": W, "height": H, "spans": [
+       {"x":..,"y":..,"text":..,"vertical":bool,"ruby":str|null}, ...]}]}``
+2. **layout IR -> ordered text**: REAL, deterministic, fully tested:
+   column segmentation, reading-order reconstruction (horizontal:
+   top-to-bottom then left-to-right; vertical Japanese: columns
+   right-to-left, top-to-bottom within a column), ruby/furigana folded as
+   base(reading) so the annotation survives without corrupting the base
+   text flow.
+
+The Spark operator is an Arrow-batched pandas UDF with the same error
+isolation as the HTML extractor.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+COLUMN_TOLERANCE = 20.0  # spans within this x (or y) distance share a column/row
+
+
+def decode_pdf_real(payload: bytes) -> dict:
+    """Real PDF -> layout IR. Gated on a PDF library being available."""
+    try:
+        import pypdf  # type: ignore  # noqa: F401
+    except ImportError as ex:  # pragma: no cover — container has no pypdf
+        raise NotImplementedError(
+            "real PDF decode requires pypdf/pdfminer; feed layout IR directly "
+            "or install a PDF library"
+        ) from ex
+    raise NotImplementedError("pypdf-based span extraction not wired yet")
+
+
+def _span_text(span: dict) -> str:
+    """Fold ruby readings: base text plus (reading) — keeps furigana as an
+    annotation without interleaving it into the base flow."""
+    text = span.get("text", "")
+    ruby = span.get("ruby")
+    return f"{text}({ruby})" if ruby else text
+
+
+def _order_horizontal(spans: List[dict]) -> List[dict]:
+    """Rows top-to-bottom (y ascending), left-to-right within a row."""
+    rows: List[List[dict]] = []
+    for s in sorted(spans, key=lambda s: (s["y"], s["x"])):
+        for row in rows:
+            if abs(row[0]["y"] - s["y"]) <= COLUMN_TOLERANCE:
+                row.append(s)
+                break
+        else:
+            rows.append([s])
+    out: List[dict] = []
+    for row in rows:
+        out.extend(sorted(row, key=lambda s: s["x"]))
+    return out
+
+
+def _order_vertical(spans: List[dict]) -> List[dict]:
+    """Vertical Japanese: columns right-to-left (x descending),
+    top-to-bottom (y ascending) within a column."""
+    cols: List[List[dict]] = []
+    for s in sorted(spans, key=lambda s: (-s["x"], s["y"])):
+        for col in cols:
+            if abs(col[0]["x"] - s["x"]) <= COLUMN_TOLERANCE:
+                col.append(s)
+                break
+        else:
+            cols.append([s])
+    out: List[dict] = []
+    for col in cols:
+        out.extend(sorted(col, key=lambda s: s["y"]))
+    return out
+
+
+def reconstruct_reading_order(layout: dict) -> str:
+    """Layout IR -> text in reading order; pages separated by form-feed-like
+    double newlines, spans joined per segmentation rules."""
+    page_texts: List[str] = []
+    for page in layout.get("pages", []):
+        spans = page.get("spans", [])
+        if not spans:
+            continue
+        vertical = [s for s in spans if s.get("vertical")]
+        horizontal = [s for s in spans if not s.get("vertical")]
+        parts: List[str] = []
+        if horizontal:
+            parts.extend(_span_text(s) for s in _order_horizontal(horizontal))
+        if vertical:
+            parts.extend(_span_text(s) for s in _order_vertical(vertical))
+        page_texts.append("\n".join(p for p in parts if p))
+    return "\n\n".join(page_texts)
+
+
+def parse_pdf_layout(payload: Optional[bytes]) -> dict:
+    """Pure core: layout-IR bytes -> ordered text + metrics (never raises)."""
+    if payload is None or len(payload) == 0:
+        return dict(text="", status="empty", n_pages=0, n_spans=0, error=None)
+    try:
+        layout = json.loads(payload.decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as ex:
+        return dict(
+            text="", status="decode_error", n_pages=0, n_spans=0, error=str(ex)[:200]
+        )
+    try:
+        text = reconstruct_reading_order(layout)
+        n_pages = len(layout.get("pages", []))
+        n_spans = sum(len(p.get("spans", [])) for p in layout.get("pages", []))
+        return dict(
+            text=text,
+            status="ok" if text else "no_content",
+            n_pages=n_pages,
+            n_spans=n_spans,
+            error=None,
+        )
+    except Exception as ex:
+        return dict(
+            text="", status="parse_error", n_pages=0, n_spans=0, error=str(ex)[:200]
+        )
+
+
+PDF_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("n_pages", T.IntegerType(), False),
+        T.StructField("n_spans", T.IntegerType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+@F.pandas_udf(PDF_EXTRACT_SCHEMA)
+def parse_pdf_udf(payload: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([parse_pdf_layout(p) for p in payload])

@@ -1,0 +1,295 @@
+"""E3 evaluation-study queries (ref embedding_evaluation.py lifecycle) and
+E2 search queries, rebuilt as declarative DataFrame plans.
+
+A5's eight Japanese test queries (ref embedding_evaluation.py:202-211) are
+embedded with the deterministic stub at import time and inlined as literal
+vectors into BOTH the Spark plan and the DuckDB oracle — so the whole
+query→chunk max-cosine→mean pipeline is hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, improvement_pct
+from ..operators.chunking import chunk_documents
+from ..operators.embedding import embed_text, embed_udf
+from .relational import query, r6, t
+
+# the 8 fixed Japanese evaluation queries (ref embedding_evaluation.py:202-211)
+JAPANESE_TEST_QUERIES = [
+    "新しい機能は何ですか？",
+    "システムの改善点について教えてください。",
+    "この文書の主な内容は？",
+    "技術的な詳細を説明してください。",
+    "問題の解決方法は？",
+    "パフォーマンスの向上",
+    "安定性とバグ修正",
+    "ユーザーエクスペリエンス",
+]
+
+_QUERY_VECS = [(i, embed_text(q).tolist()) for i, q in enumerate(JAPANESE_TEST_QUERIES)]
+
+_COS = """
+    list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),
+                     list_transform({b}, x -> CAST(x AS DOUBLE)))
+    / NULLIF(sqrt(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),
+                                   list_transform({a}, x -> CAST(x AS DOUBLE))))
+           * sqrt(list_dot_product(list_transform({b}, x -> CAST(x AS DOUBLE)),
+                                   list_transform({b}, x -> CAST(x AS DOUBLE)))), 0)
+"""
+
+_QVALS = ", ".join(
+    "({}, [{}])".format(i, ", ".join(f"{x!r}" for x in vec)) for i, vec in _QUERY_VECS
+)
+
+
+@query(
+    "jp_specificity_score",
+    f"""
+    WITH q(query_id, qvec) AS (VALUES {_QVALS}),
+    best AS (
+      SELECT q.query_id,
+             max(round(coalesce({_COS.format(a="e.embedding", b="q.qvec")}, 0.0), 6)) AS best_score
+      FROM embeddings e CROSS JOIN q
+      GROUP BY q.query_id)
+    SELECT round(avg(best_score), 6) AS japanese_specificity, count(*) AS n_queries
+    FROM best
+    """,
+)
+def jp_specificity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 Japanese-specificity (ref embedding_evaluation.py:694-719): per
+    query the max cosine over all chunks, then the mean over queries.
+
+    Scale: queries are 8 literal vectors -> broadcast; partial max per
+    partition then tiny final agg — no corpus shuffle at any size."""
+    emb = t(spark, sf_dir, "embeddings")
+    qdf = spark.createDataFrame(
+        _QUERY_VECS, "query_id int, qvec array<float>"
+    )
+    best = (
+        emb.crossJoin(F.broadcast(qdf))
+        .select(
+            "query_id",
+            r6(
+                F.coalesce(cosine(F.col("embedding"), F.col("qvec")), F.lit(0.0))
+            ).alias("score"),
+        )
+        .groupBy("query_id")
+        .agg(F.max("score").alias("best_score"))
+    )
+    return best.groupBy().agg(
+        r6(F.avg("best_score")).alias("japanese_specificity"),
+        F.count("*").alias("n_queries"),
+    )
+
+
+@query(
+    "best_event_type_per_user",
+    """
+    SELECT user_id,
+           CASE WHEN s_click >= s_purchase AND s_click >= s_view AND s_click >= s_error THEN 'click'
+                WHEN s_purchase >= s_view AND s_purchase >= s_error THEN 'purchase'
+                WHEN s_view >= s_error THEN 'view'
+                ELSE 'error' END AS best_type
+    FROM (
+      SELECT user_id,
+             coalesce(avg(value) FILTER (WHERE event_type = 'click'), 0.0)    AS s_click,
+             coalesce(avg(value) FILTER (WHERE event_type = 'purchase'), 0.0) AS s_purchase,
+             coalesce(avg(value) FILTER (WHERE event_type = 'view'), 0.0)     AS s_view,
+             coalesce(avg(value) FILTER (WHERE event_type = 'error'), 0.0)    AS s_error
+      FROM events GROUP BY user_id)
+    """,
+)
+def best_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 argmax-best-model semantics (ref embedding_evaluation.py:1021-1038):
+    4 named scores -> the name with the max, first-listed wins ties."""
+    ev = t(spark, sf_dir, "events")
+    scores = ev.groupBy("user_id").agg(
+        *[
+            F.coalesce(
+                F.avg(F.when(F.col("event_type") == k, F.col("value"))), F.lit(0.0)
+            ).alias(f"s_{k}")
+            for k in ("click", "purchase", "view", "error")
+        ]
+    )
+    c, p, v, e = (F.col(f"s_{k}") for k in ("click", "purchase", "view", "error"))
+    best = (
+        F.when((c >= p) & (c >= v) & (c >= e), "click")
+        .when((p >= v) & (p >= e), "purchase")
+        .when(v >= e, "view")
+        .otherwise("error")
+    )
+    return scores.select("user_id", best.alias("best_type"))
+
+
+@query(
+    "event_type_wins",
+    """
+    SELECT best_type, count(*) AS wins FROM (
+      SELECT CASE WHEN s_click >= s_purchase AND s_click >= s_view AND s_click >= s_error THEN 'click'
+                  WHEN s_purchase >= s_view AND s_purchase >= s_error THEN 'purchase'
+                  WHEN s_view >= s_error THEN 'view'
+                  ELSE 'error' END AS best_type
+      FROM (
+        SELECT user_id,
+               coalesce(avg(value) FILTER (WHERE event_type = 'click'), 0.0)    AS s_click,
+               coalesce(avg(value) FILTER (WHERE event_type = 'purchase'), 0.0) AS s_purchase,
+               coalesce(avg(value) FILTER (WHERE event_type = 'view'), 0.0)     AS s_view,
+               coalesce(avg(value) FILTER (WHERE event_type = 'error'), 0.0)    AS s_error
+        FROM events GROUP BY user_id))
+    GROUP BY best_type
+    """,
+)
+def event_type_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 model-wins histogram (ref embedding_evaluation.py:1142-1146)."""
+    best = best_event_type_per_user(spark, sf_dir)
+    return best.groupBy("best_type").agg(F.count("*").alias("wins"))
+
+
+@query(
+    "search_filtered",
+    f"""
+    SELECT vec_id, score, rank FROM (
+      SELECT e.vec_id,
+             round(coalesce({_COS.format(a="e.embedding", b="q.embedding")}, 0.0), 6) AS score,
+             CAST(row_number() OVER (
+               ORDER BY round(coalesce({_COS.format(a="e.embedding", b="q.embedding")}, 0.0), 6) DESC,
+                        e.vec_id) AS INT) AS rank
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.label = 3 AND e.vec_id <> 0)
+    WHERE rank <= 5
+    """,
+)
+def search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 search lifecycle with a document filter (F2, ref
+    vector_db.py:358-360) + field projection (F3) + rank display (T2):
+    top-5 within label=3 only. The filter prunes BEFORE scoring —
+    predicate-pushdown order a Milvus expr can't guarantee."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scored = (
+        emb.filter((F.col("label") == 3) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            r6(F.coalesce(cosine(F.col("embedding"), F.col("qvec")), F.lit(0.0))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    )
+
+
+@query(
+    "doc_markdown_export",
+    """
+    SELECT doc_id,
+           text || chr(10) || chr(10) || '## Extracted Images' || chr(10)
+                || '![image 0](' || sha256(text) || '.png)' || chr(10)
+                || '![image 1](' || sha256(reverse(text)) || '.png)' AS markdown
+    FROM documents
+    """,
+)
+def doc_markdown_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 enhanced-markdown export (ref processor.py:449-462) + X11 image
+    reference builder (ref image_processor.py:235-253): document text plus
+    an '## Extracted Images' section of ![caption](hash.png) references —
+    pure string algebra, sink-ready."""
+    docs = t(spark, sf_dir, "documents")
+    refs = F.concat(
+        F.lit("![image 0]("),
+        F.sha2(F.col("text"), 256),
+        F.lit(".png)\n![image 1]("),
+        F.sha2(F.reverse(F.col("text")), 256),
+        F.lit(".png)"),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n\n## Extracted Images\n"), refs
+        ).alias("markdown"),
+    )
+
+
+@query("evaluation_study")
+def evaluation_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 comparison study rebuilt (ref embedding_evaluation.py:1040-1072 +
+    1119-1206): for each chunking strategy, chunk -> stub-embed -> A4
+    context preservation + A6 chunk stats per doc, improvement vs the
+    traditional baseline (A7), then the per-strategy rollup (A10/A12).
+
+    One DataFrame program replaces the reference's nested Python loops; the
+    strategies dimension is a unionByName of three chunker plans over one
+    scan."""
+    docs = t(spark, sf_dir, "documents")
+    strategies = [("words_200", "words", 200), ("words_400", "words", 400), ("simple_500", "simple", 500)]
+    per_strategy = []
+    for name, method, size in strategies:
+        chunks = chunk_documents(docs, method=method, max_chunk_length=size)
+        chunks = chunks.withColumn("emb", embed_udf()(F.col("text")))
+        w = Window.partitionBy("doc_id").orderBy("chunk_index")
+        metrics = (
+            chunks.withColumn("nxt", F.lead("emb").over(w))
+            .groupBy("doc_id")
+            .agg(
+                F.coalesce(
+                    F.avg(
+                        F.when(
+                            F.col("nxt").isNotNull(),
+                            cosine(F.col("emb"), F.col("nxt")),
+                        )
+                    ),
+                    F.lit(1.0),  # <2 chunks -> 1.0 (ref embedding_evaluation.py:688)
+                ).alias("context_preservation"),
+                F.count("*").alias("n_chunks"),
+                F.avg(F.length("text")).alias("avg_chunk_len"),
+            )
+            .withColumn("strategy", F.lit(name))
+        )
+        per_strategy.append(metrics)
+    all_metrics = per_strategy[0]
+    for m in per_strategy[1:]:
+        all_metrics = all_metrics.unionByName(m)
+
+    baseline = all_metrics.filter(F.col("strategy") == "words_200").select(
+        "doc_id", F.col("context_preservation").alias("base_score")
+    )
+    enriched = all_metrics.join(F.broadcast(baseline), "doc_id").withColumn(
+        "improvement_pct",
+        improvement_pct(F.col("base_score"), F.col("context_preservation")),
+    )
+    return (
+        enriched.groupBy("strategy")
+        .agg(
+            F.count("*").alias("n_docs"),
+            r6(F.avg("context_preservation")).alias("avg_context_preservation"),
+            r6(F.stddev_pop("context_preservation")).alias("std_context_preservation"),
+            r6(F.avg("n_chunks")).alias("avg_chunks"),
+            r6(F.avg("avg_chunk_len")).alias("avg_chunk_len"),
+            r6(F.avg("improvement_pct")).alias("avg_improvement_pct"),
+        )
+        .orderBy("strategy")
+    )
+
+
+@query("chunk_jsonl_export")
+def chunk_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 JSONL chunk sink (ref processor.py:464-478) — as REAL json via
+    to_json (the reference writes python repr, a bug SURVEY §2.11 says not
+    to port). One JSON line per chunk, ready for .write.text()."""
+    chunks = chunk_documents(
+        t(spark, sf_dir, "documents"), method="words", max_chunk_length=200
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        F.to_json(
+            F.struct("doc_id", "chunk_index", "text", "start", "end")
+        ).alias("json_line"),
+    )
