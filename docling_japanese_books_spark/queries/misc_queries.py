@@ -1,0 +1,153 @@
+"""Remaining SURVEY §2 coverage: salted skew aggregation, annotation
+flattening (U3), sentence splitting (X3), chunk-image enrichment (C4/J1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.enrichment import enrich_chunks_with_images
+from ..operators.salting import salted_agg
+from .relational import query, r6, t
+
+
+@query(
+    "salted_supplier_revenue",
+    """
+    SELECT l_suppkey, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation over a hot-key distribution (north rule
+    'explicit salting for skewed hosts'): only 10 suppliers at any SF, so a
+    naive groupBy lands 1/10th of the table on one reducer. Salt fans each
+    key across 16 partials; the oracle is the plain GROUP BY — results must
+    be identical, only the shuffle shape differs."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "_rev", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    out = salted_agg(
+        li,
+        key="l_suppkey",
+        aggs={"n_items": ("count", "l_orderkey"), "revenue": ("sum", "_rev")},
+        fine_col="l_orderkey",
+        n_salt=16,
+    )
+    return out.select("l_suppkey", "n_items", r6(F.col("revenue")).alias("revenue"))
+
+
+@query(
+    "flatten_annotations",
+    """
+    SELECT label, list_sort(flatten(array_agg(annos))) AS all_annotations
+    FROM (
+      SELECT label, ['vec-' || CAST(vec_id AS VARCHAR), 'lbl-' || CAST(label AS VARCHAR)] AS annos
+      FROM embeddings WHERE vec_id < 50)
+    GROUP BY label
+    """,
+)
+def flatten_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 annotation flattening (ref processor.py:416-420:
+    all_annotations.extend(...)): flatten(collect_list(array)) per group,
+    sorted for deterministic compare."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    annos = F.array(
+        F.concat(F.lit("vec-"), F.col("vec_id").cast("string")),
+        F.concat(F.lit("lbl-"), F.col("label").cast("string")),
+    )
+    return (
+        emb.select("label", annos.alias("annos"))
+        .groupBy("label")
+        .agg(F.array_sort(F.flatten(F.collect_list("annos"))).alias("all_annotations"))
+    )
+
+
+@query(
+    "sentence_split",
+    """
+    SELECT doc_id, sent_idx, sentence FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '[。！？]+')) AS sentence,
+             generate_subscripts(regexp_split_to_array(text, '[。！？]+'), 1) - 1 AS sent_idx
+      FROM (SELECT doc_id, text || '。テスト文！続き？' AS text FROM documents WHERE doc_id < 50))
+    WHERE trim(sentence) <> ''
+    """,
+)
+def sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 Japanese sentence-boundary split (ref late_chunking.py:89-91,
+    config.py:263-269): regexp split on [。！？]+, exploded with index,
+    blank fragments dropped (F1). A JP suffix is appended so the split is
+    exercised on every row."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    with_jp = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit("。テスト文！続き？")).alias("text")
+    )
+    return (
+        with_jp.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "[。！？]+")).alias(
+                "sent_idx", "sentence"
+            ),
+        )
+        .filter(F.trim(F.col("sentence")) != "")
+    )
+
+
+@query(
+    "chunk_image_enrichment",
+    """
+    SELECT doc_id, 0 AS chunk_index,
+           text || chr(10) || '[Image: ' || sha256(text) || '.png - figure 0]'
+                || chr(10) || '  - annotation one'
+                || chr(10) || '  - annotation two'
+                || chr(10) || '[Image: ' || sha256(reverse(text)) || '.png - figure 1]'
+             AS enriched_text
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def chunk_image_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/J1 enrichment (ref processor.py:351-401): chunk refs posexploded,
+    broadcast-joined to per-doc images on self_ref, enrichment suffix
+    re-aggregated in ref order — [Image: hash.png - caption] + first 2
+    annotations. Image 0 carries 3 annotations (only 2 survive, ref
+    processor.py:364); image 1 none."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    chunks = docs.select(
+        "doc_id",
+        F.lit(0).alias("chunk_index"),
+        "text",
+        F.array(
+            F.concat(F.lit("pic/"), F.col("doc_id").cast("string"), F.lit("/0")),
+            F.concat(F.lit("pic/"), F.col("doc_id").cast("string"), F.lit("/1")),
+        ).alias("refs"),
+    )
+    images = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(
+                        F.lit("pic/"), F.col("doc_id").cast("string"), F.lit("/0")
+                    ).alias("self_ref"),
+                    F.sha2(F.col("text"), 256).alias("hash"),
+                    F.lit("figure 0").alias("caption"),
+                    F.array(
+                        F.lit("annotation one"),
+                        F.lit("annotation two"),
+                        F.lit("annotation three"),
+                    ).alias("annotations"),
+                ),
+                F.struct(
+                    F.concat(
+                        F.lit("pic/"), F.col("doc_id").cast("string"), F.lit("/1")
+                    ).alias("self_ref"),
+                    F.sha2(F.reverse(F.col("text")), 256).alias("hash"),
+                    F.lit("figure 1").alias("caption"),
+                    F.array().cast("array<string>").alias("annotations"),
+                ),
+            )
+        ).alias("img")
+    ).select("img.*")
+    enriched = enrich_chunks_with_images(chunks, images)
+    return enriched.select("doc_id", "chunk_index", "enriched_text")
