@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the plans that make 100 TB feasible.
+
+These pin the *shape* Catalyst picks — a silent regression to sort-merge
+join or a global sort would still pass value checks but die at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entry.queries()
+
+    def plan_of(name: str) -> str:
+        return qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_q1_filter_pushdown(plans):
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_q3_broadcasts_never_sortmerge(plans):
+    p = plans("q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p  # top-10 without global sort
+
+
+def test_topk_is_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans("top5_expensive_orders")
+    assert "TakeOrderedAndProject" in plans("emb_cosine_topk")
+
+
+def test_semi_and_anti_joins(plans):
+    assert "LeftSemi" in plans("customers_with_orders")
+    assert "LeftAnti" in plans("customers_without_orders")
+
+
+def test_dim_join_broadcasts(plans):
+    assert "BroadcastHashJoin" in plans("nations_per_region")
+
+
+def test_enrichment_join_broadcasts(plans):
+    assert "BroadcastHashJoin" in plans("chunk_image_enrichment")
+
+
+def test_extraction_single_python_stage(plans):
+    # one ArrowEvalPython: the UDF must not be duplicated into injected filters
+    assert plans("extract_roundtrip").count("ArrowEvalPython") == 1
+    assert plans("chunk_simple").count("ArrowEvalPython") == 1
+
+
+def test_extraction_column_pruning(spark):
+    from docling_japanese_books_spark.extraction.html import extract_pages
+    from docling_japanese_books_spark.extraction.pages import PAGES_SCHEMA
+    from pyspark.sql import functions as F
+    import tempfile, shutil
+
+    d = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame([], PAGES_SCHEMA).write.parquet(f"{d}/pages")
+        pages = spark.read.parquet(f"{d}/pages")
+        agg = extract_pages(pages).groupBy("extracted.status").agg(F.count("*"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema: struct<html:binary>" in plan  # only html is read
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
