@@ -44,6 +44,84 @@ def topk_bruteforce(
     )
 
 
+def topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into cells around
+    centroids, probe only the n_probe cells nearest each query.
+
+    Centroids are a deterministic sample (first n_cells corpus vectors by
+    id) — a kmeans stand-in that keeps the operator dependency-free; swap in
+    trained centroids without touching the plan. Cell assignment is pure
+    column algebra (dot to each literal centroid, argmax); the query batch
+    is driver-resident by definition (it's a search request), so its probe
+    lists are computed in numpy and broadcast as a literal pair table.
+
+    Scale: corpus never moves — the only join is corpus ⋈ broadcast(probe
+    pairs) on the cell id, then per-query rank. Recall grows with n_probe
+    (n_probe = n_cells degenerates to exact brute force).
+    """
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.select(corpus_id, vec_col).orderBy(corpus_id).limit(n_cells).collect()
+    ]
+    cent_vecs = np.array([c[1] for c in cents], dtype=np.float64)
+    cent_norms = np.linalg.norm(cent_vecs, axis=1)
+    cent_norms[cent_norms == 0] = 1.0
+
+    def cell_expr(vec: Column) -> Column:
+        sims = [
+            dot_literal(vec, c) / float(n) for c, n in zip(cent_vecs, cent_norms)
+        ]
+        arr = F.array(*sims)
+        return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+    def dot_literal(vec: Column, plane) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(vec, lit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    c = corpus.withColumn("_cell", cell_expr(F.col(vec_col)))
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype=np.float64)
+        qn = np.linalg.norm(qv) or 1.0
+        sims = cent_vecs @ qv / (cent_norms * qn)
+        for cell in np.argsort(-sims)[:n_probe]:
+            probe_pairs.append((r[0], int(cell)))
+    probes = queries.sparkSession.createDataFrame(
+        probe_pairs, f"{query_id} long, _cell int"
+    )
+    qvecs = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+
+    scored = (
+        c.join(F.broadcast(probes), "_cell")
+        .join(F.broadcast(qvecs), query_id)
+        .select(
+            query_id,
+            corpus_id,
+            F.coalesce(cosine(F.col(vec_col), F.col("_qvec")), F.lit(0.0)).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(np.float64).tolist()

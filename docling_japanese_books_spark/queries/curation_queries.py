@@ -137,6 +137,22 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_topk_ivf")
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe the 4 nearest of 16 cells per query (rows-only;
+    exactness when n_probe=n_cells pinned by tests/test_similarity.py)."""
+    from ..operators.similarity import topk_ivf
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return topk_ivf(queries, corpus, dim=64, k=3, n_cells=16, n_probe=4).select(
+        "query_id", "vec_id", r6(F.col("score")).alias("score"), "rank"
+    )
+
+
 @query(
     "doc_lang_quality",
     """

@@ -61,3 +61,35 @@ def test_lsh_bucket_deterministic(spark, emb):
     b = emb.select(lsh_bucket(F.col("embedding"), 64, 8, seed=1).alias("b")).collect()
     assert [r.b for r in a] == [r.b for r in b]
     assert all(0 <= r.b < 256 for r in a)
+
+
+def test_ivf_self_query_and_subset(spark, emb):
+    from docling_japanese_books_spark.operators.similarity import topk_ivf
+
+    queries = emb.filter("vec_id IN (10, 20)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = topk_ivf(queries, emb, dim=64, k=3, n_cells=8, n_probe=8).collect()
+    # n_probe == n_cells -> exact: self is rank 1
+    top1 = {r.query_id: r.vec_id for r in out if r.rank == 1}
+    assert top1 == {10: 10, 20: 20}
+
+
+def test_ivf_probe_limits_candidates(spark, emb):
+    from docling_japanese_books_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_ivf,
+    )
+
+    queries = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter("vec_id >= 2")
+    approx = topk_ivf(queries, corpus, dim=64, k=5, n_cells=8, n_probe=2).collect()
+    bf = {
+        (r.query_id, r.vec_id): r.score
+        for r in topk_bruteforce(queries, corpus, k=1000).collect()
+    }
+    assert approx
+    for r in approx:  # scores must agree with exact cosine
+        assert abs(bf[(r.query_id, r.vec_id)] - r.score) < 1e-9
