@@ -24,6 +24,7 @@ from docling_japanese_books_spark.queries import curation_queries  # noqa: E402,
 from docling_japanese_books_spark.queries import eval_queries  # noqa: E402,F401
 from docling_japanese_books_spark.queries import pdf_queries  # noqa: E402,F401
 from docling_japanese_books_spark.queries import misc_queries  # noqa: E402,F401
+from docling_japanese_books_spark.queries import analytics_queries  # noqa: E402,F401
 from docling_japanese_books_spark.queries.relational import REGISTRY  # noqa: E402
 
 

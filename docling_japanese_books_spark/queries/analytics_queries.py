@@ -1,0 +1,120 @@
+"""Analytics patterns rounding out the inventory: sessionization, rollup,
+quantiles, best-per-group (A11-shaped) — all oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .relational import query, r6, t
+
+
+@query(
+    "events_sessionization",
+    """
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 6) AS session_value
+    FROM (
+      SELECT user_id, value,
+             sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               date_diff('second',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) AS gap_s
+        FROM events))
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session; session id =
+    running count of session starts (one shuffle on user_id, two window
+    passes over the same partitioning — Spark reuses the sort)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ in the fixtures — unix_timestamp (session TZ=UTC)
+    # is the cast that works for both NTZ and LTZ
+    secs = F.unix_timestamp(F.col("ts"))
+    gapped = ev.withColumn("gap_s", secs - F.lag(secs).over(w))
+    sessions = gapped.withColumn(
+        "session_id",
+        F.sum(
+            F.when(F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1).otherwise(0)
+        ).over(wrun),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), r6(F.sum("value")).alias("session_value")
+    )
+
+
+@query(
+    "orders_rollup",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL')   AS status,
+           count(*) AS n, round(sum(o_totalprice), 6) AS total
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (priority -> status -> grand total)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"), r6(F.sum("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "order_price_quantiles",
+    """
+    SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+    FROM orders
+    """,
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles (Spark `percentile` == duckdb
+    quantile_cont). The 100 TB path swaps in percentile_approx — same plan
+    shape, sketch-mergeable partials."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        *[
+            r6(F.percentile("o_totalprice", F.lit(p))).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+
+
+@query(
+    "best_doc_per_source",
+    """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    WHERE rk = 1
+    """,
+)
+def best_doc_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 best-per-model selection (ref embedding_evaluation.py:498-509):
+    keep the max-score row per group via window row_number."""
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        t(spark, sf_dir, "documents")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("source", "doc_id", "n_chars")
+    )
