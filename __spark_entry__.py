@@ -17,15 +17,7 @@ _REPO = str(Path(__file__).parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from docling_japanese_books_spark.queries import relational  # noqa: E402
-from docling_japanese_books_spark.queries import pipeline_queries  # noqa: E402,F401
-from docling_japanese_books_spark.queries import extraction_queries  # noqa: E402,F401
-from docling_japanese_books_spark.queries import curation_queries  # noqa: E402,F401
-from docling_japanese_books_spark.queries import eval_queries  # noqa: E402,F401
-from docling_japanese_books_spark.queries import pdf_queries  # noqa: E402,F401
-from docling_japanese_books_spark.queries import misc_queries  # noqa: E402,F401
-from docling_japanese_books_spark.queries import analytics_queries  # noqa: E402,F401
-from docling_japanese_books_spark.queries.relational import REGISTRY  # noqa: E402
+from docling_japanese_books_spark.queries import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

