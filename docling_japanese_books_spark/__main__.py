@@ -88,6 +88,24 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from .pipeline.curate import curate_corpus
+    from .session import get_spark
+
+    spark = get_spark("cli-curate")
+    extracted = spark.read.parquet(args.input)
+    curated, report = curate_corpus(
+        extracted, min_quality=args.min_quality, near_dup_threshold=args.near_dup
+    )
+    curated.write.mode("overwrite").parquet(args.output)
+    print(
+        f"in={report.rows_in} quality_pass={report.rows_quality_pass} "
+        f"exact_dedup={report.rows_after_exact_dedup} "
+        f"near_dedup={report.rows_after_near_dedup}"
+    )
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .sources.files import discover_files, extension_histogram
     from .session import get_spark
@@ -122,6 +140,13 @@ def build_parser() -> argparse.ArgumentParser:
     ev = sub.add_parser("evaluate", help="chunking-strategy comparison study")
     ev.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ev.set_defaults(fn=cmd_evaluate)
+
+    cu = sub.add_parser("curate", help="normalize + quality gate + dedup")
+    cu.add_argument("input", help="extracted data path (url, text, ...)")
+    cu.add_argument("-o", "--output", required=True)
+    cu.add_argument("--min-quality", type=float, default=0.3)
+    cu.add_argument("--near-dup", type=float, default=0.85)
+    cu.set_defaults(fn=cmd_curate)
 
     st = sub.add_parser("stats", help="file-type histogram of a directory")
     st.add_argument("directory")

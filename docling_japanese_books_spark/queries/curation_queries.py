@@ -137,6 +137,34 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("curate_corpus_report")
+def curate_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation pass (normalize -> lang/quality gate -> exact dedup ->
+    near dedup) over the synthetic pages corpus with planted duplicates;
+    returns the survival funnel as one row. Rows-only (stage semantics
+    pinned by tests/test_curate.py)."""
+    from ..extraction.html import extract_pages
+    from ..extraction.pages import generate_pages
+    from ..pipeline.curate import curate_corpus
+
+    pages = generate_pages(spark, 800, seed=42)
+    extracted = extract_pages(pages).select(
+        "url", F.col("extracted.text").alias("text"), "lang"
+    )
+    _, report = curate_corpus(extracted, min_quality=0.2)
+    return spark.createDataFrame(
+        [
+            (
+                report.rows_in,
+                report.rows_quality_pass,
+                report.rows_after_exact_dedup,
+                report.rows_after_near_dedup,
+            )
+        ],
+        "rows_in long, quality_pass long, after_exact long, after_near long",
+    )
+
+
 @query("similarity_topk_ivf")
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: probe the 4 nearest of 16 cells per query (rows-only;

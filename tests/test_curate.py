@@ -1,0 +1,49 @@
+"""Curation pipeline: quality gate, exact + near dedup, survival report."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_japanese_books_spark.pipeline.curate import curate_corpus
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and it was a fine day in "
+    "the park where the children played and the birds sang in the trees"
+)
+
+
+def test_curation_stages(spark):
+    rows = [
+        ("https://a/1", GOOD, "en"),
+        ("https://a/2", GOOD, "en"),                       # exact dup of 1
+        ("https://a/3", GOOD + " extra ending", "en"),     # near dup of 1
+        ("https://a/4", "zzz qq", "en"),                   # too short + low quality
+        ("https://a/5", "the another completely different story about a "
+                        "castle on the hill where it was always raining and "
+                        "the wind blew through it for a hundred years", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    curated, report = curate_corpus(df, min_quality=0.2, near_dup_threshold=0.5)
+
+    urls = {r.url for r in curated.select("url").collect()}
+    assert report.rows_in == 5
+    assert report.rows_quality_pass == 4          # /4 gated out
+    assert report.rows_after_exact_dedup == 3     # /2 collapsed into /1
+    assert report.rows_after_near_dedup == 2      # /3 collapsed into /1
+    assert urls == {"https://a/1", "https://a/5"}
+
+    got = curated.filter(F.col("url") == "https://a/1").collect()[0]
+    assert got.lang_guess == "en"
+    assert 0.0 <= got.quality <= 1.0
+
+
+def test_curation_normalizes_before_hashing(spark):
+    # full-width vs ascii text must collapse in exact dedup after NFKC
+    rows = [
+        ("https://b/1", "ＡＢＣ " + GOOD, "ja"),
+        ("https://b/2", "ABC " + GOOD, "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    curated, report = curate_corpus(df, min_quality=0.0, min_chars=1)
+    assert report.rows_after_exact_dedup == 1
+    assert [r.url for r in curated.collect()] == ["https://b/1"]
