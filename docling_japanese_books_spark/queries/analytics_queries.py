@@ -98,6 +98,35 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_stats",
+    """
+    SELECT source,
+           count(*)                                              AS num_books,
+           CAST(round(avg(n_chars / 2000.0), 0) AS BIGINT)       AS avg_pages_per_book,
+           CAST(round(avg(n_chars), 0) AS BIGINT)                AS avg_chars_per_book,
+           CAST(round(avg(ceil(n_chars / 450.0)), 0) AS BIGINT)  AS avg_chunks_per_book
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 PDF-corpus statistics (ref quantization_analysis.py:415-480):
+    per-collection book count, mean pages/book (2000 chars/page), mean
+    chars, mean chunks/book (450 effective chunk chars), rounded to ints
+    exactly as the reference reports them."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("num_books"),
+        F.round(F.avg(F.col("n_chars") / 2000.0), 0)
+        .cast("bigint")
+        .alias("avg_pages_per_book"),
+        F.round(F.avg("n_chars"), 0).cast("bigint").alias("avg_chars_per_book"),
+        F.round(F.avg(F.ceil(F.col("n_chars") / 450.0)), 0)
+        .cast("bigint")
+        .alias("avg_chunks_per_book"),
+    )
+
+
+@query(
     "best_doc_per_source",
     """
     SELECT source, doc_id, n_chars FROM (
