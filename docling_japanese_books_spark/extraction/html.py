@@ -16,6 +16,7 @@ bytes are reproducible anywhere — the byte-identical-per-url invariant.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
@@ -133,7 +134,117 @@ def classify_blocks(blocks: List[Block]) -> List[Tuple[Block, bool]]:
     return decisions
 
 
-def extract_main_content(html_bytes: Optional[bytes]) -> dict:
+# ---------------------------------------------------------------------------
+# fast tokenizer path
+# ---------------------------------------------------------------------------
+
+# one pass over the document: comments / declarations / PIs / tags; text is
+# everything between matches. Raw-text elements (script/style) are skipped
+# by seeking their closing tag directly.
+_TOKEN = re.compile(
+    r"<!--.*?-->"  # terminated comments only — an unterminated one is data
+    r"|<!\[CDATA\[.*?\]\]>"
+    r"|<!(?!--)[^>]*>"  # bogus decl — but an unterminated <!-- is DATA
+    r"|<\?[^>]*>"
+    r"|</(?=[^a-zA-Z])[^>]*>"  # bogus end tag -> skipped (HTMLParser parity)
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>",
+    re.S,
+)
+_RAWTEXT = {"script", "style"}
+
+
+class _FastBlockParser:
+    """Regex-tokenized twin of _BlockParser: same Block stream, ~5x faster
+    (HTMLParser's per-char goahead loop dominates the UDF otherwise).
+    Equivalence on the generator corpus + fuzz is pinned by
+    tests/test_extraction_fast.py."""
+
+    def __init__(self) -> None:
+        self.blocks: List[Block] = []
+        self._current: Optional[Block] = None
+        self._drop_depth = 0
+        self._link_depth = 0
+
+    def _flush(self) -> None:
+        if self._current is not None and self._current.text:
+            self.blocks.append(self._current)
+        self._current = None
+
+    def _data(self, data: str) -> None:
+        if self._drop_depth or not data:
+            return
+        if "&" in data:
+            import html as _html
+
+            data = _html.unescape(data)
+        if self._current is None:
+            if not data.strip():
+                return
+            self._current = Block("_implicit", [])
+        self._current.parts.append(data)
+        if self._link_depth:
+            self._current.link_chars += len(data)
+
+    def _start(self, tag: str) -> None:
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            self._flush()
+            return
+        if self._drop_depth:
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._current = Block(tag, [])
+
+    def _end(self, tag: str) -> None:
+        if tag in DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def run(self, raw: str) -> None:
+        lower = None  # lazily lowered copy for raw-text close search
+        pos = 0
+        n = len(raw)
+        while pos < n:
+            m = _TOKEN.search(raw, pos)
+            if m is None:
+                self._data(raw[pos:])
+                break
+            if m.start() > pos:
+                self._data(raw[pos : m.start()])
+            pos = m.end()
+            tag = m.group(2)
+            if tag is None:
+                continue  # comment / declaration / PI
+            tag = tag.lower()
+            closing, selfclosing = m.group(1) == "/", m.group(4) == "/"
+            if closing:
+                self._end(tag)
+            else:
+                self._start(tag)
+                if selfclosing:
+                    self._end(tag)
+                elif tag in _RAWTEXT:
+                    if lower is None:
+                        lower = raw.lower()
+                    close = lower.find(f"</{tag}", pos)
+                    if close == -1:
+                        break  # unterminated raw text: rest is script/style
+                    gt = raw.find(">", close)
+                    pos = n if gt == -1 else gt + 1
+                    self._end(tag)
+        self._flush()
+
+
+def extract_main_content(html_bytes: Optional[bytes], fast: bool = True) -> dict:
     """Pure core: html bytes -> extracted text + metrics (never raises)."""
     if html_bytes is None or len(html_bytes) == 0:
         return dict(
@@ -150,9 +261,13 @@ def extract_main_content(html_bytes: Optional[bytes]) -> dict:
             error=str(ex)[:200],
         )
     try:
-        parser = _BlockParser()
-        parser.feed(raw)
-        parser.close()
+        if fast:
+            parser = _FastBlockParser()
+            parser.run(raw)
+        else:
+            parser = _BlockParser()
+            parser.feed(raw)
+            parser.close()
         decisions = classify_blocks(parser.blocks)
         kept = [b.text for b, keep in decisions if keep]
         dropped = sum(1 for _, keep in decisions if not keep)
