@@ -1,0 +1,121 @@
+"""Audio/video as opaque binary columns: decode / frame-sample / resize
+plumbing (task brief). Same contract as images.py — the Spark-side shape
+(schemas, mapInPandas batching, per-row error isolation) is real; the
+codec work is a deterministic fake behind the same function slot a real
+ffmpeg/PIL-based decoder would fill (those libs aren't in this container;
+``decode_media_real`` raises NotImplementedError until they are).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_index", T.IntegerType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),  # audio | video
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),  # audio
+        T.StructField("n_frames", T.IntegerType(), True),  # video
+        T.StructField(  # sampled frames (video) or windows (audio):
+            "samples",  # per sample: offset + tiny feature vector
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("offset_s", T.DoubleType(), False),
+                        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def fake_decode_media(payload: bytes, n_samples: int = 4) -> dict:
+    """Deterministic FAKE: kind/duration/rate derived from content bytes;
+    'frame sampling' picks n_samples evenly-spaced offsets and hashes the
+    corresponding byte neighborhoods into 4-dim features — the exact batch
+    shape a real ffmpeg frame sampler produces."""
+    digest = hashlib.sha256(payload).digest()
+    kind = "audio" if digest[0] % 2 == 0 else "video"
+    duration = 1.0 + (digest[1] % 240)
+    samples = []
+    for i in range(n_samples):
+        offset = round(duration * i / n_samples, 3)
+        window = payload[
+            (i * 16) % max(1, len(payload)) : (i * 16) % max(1, len(payload)) + 64
+        ]
+        h = hashlib.sha256(window or b"\0").digest()
+        feature = [(int.from_bytes(h[4 * j : 4 * j + 4], "little") % 1000) / 1000.0
+                   for j in range(4)]
+        samples.append(dict(offset_s=offset, feature=feature))
+    out = dict(kind=kind, duration_s=float(duration), samples=samples)
+    if kind == "audio":
+        out.update(sample_rate=[8000, 16000, 44100][digest[2] % 3], n_frames=None)
+    else:
+        out.update(sample_rate=None, n_frames=int(duration * 24))
+    return out
+
+
+def decode_media_real(payload: bytes) -> dict:
+    """Real decode path — gated until ffmpeg/librosa are available."""
+    raise NotImplementedError(
+        "real audio/video decode requires ffmpeg bindings; use fake_decode_media"
+    )
+
+
+def extract_media_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    doc_col: str = "doc_id",
+    index_col: str = "media_index",
+    decode_fn: Optional[Callable[[bytes], dict]] = None,
+    n_samples: int = 4,
+) -> DataFrame:
+    """mapInPandas over binary payloads -> typed media metadata + sampled
+    frame/window features. Corrupt payloads yield null metadata rows."""
+    decode = decode_fn or (lambda p: fake_decode_media(p, n_samples))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, idx, payload in zip(
+                pdf[doc_col], pdf[index_col], pdf[payload_col]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                base = dict(
+                    doc_id=int(doc_id),
+                    media_index=int(idx),
+                    sha256=hashlib.sha256(payload).hexdigest(),
+                    n_bytes=len(payload),
+                )
+                try:
+                    base.update(decode(payload))
+                except Exception:
+                    base.update(
+                        kind=None, duration_s=None, sample_rate=None,
+                        n_frames=None, samples=None,
+                    )
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, MEDIA_META_SCHEMA)
+
+
+def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: a real implementation returns the
+    re-encoded image; the stub returns a tagged digest so downstream
+    plumbing (binary-in/binary-out, shape metadata) is exercised."""
+    tag = f"resized:{width}x{height}:".encode()
+    return tag + hashlib.sha256(payload).digest()

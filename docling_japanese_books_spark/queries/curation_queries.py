@@ -252,6 +252,43 @@ def image_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_manifest(meta)
 
 
+@query("doc_winnowing_overlap")
+def doc_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS-style) + containment
+    overlap between consecutive docs. Rows-only; the winnowing guarantee
+    and rolling-hash math are pinned by tests/test_fingerprint_media.py."""
+    from ..operators.fingerprint import fingerprint_documents, fingerprint_overlap
+
+    fps = fingerprint_documents(t(spark, sf_dir, "documents"))
+    a, b = fps.alias("a"), fps.alias("b")
+    return a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        r6(
+            fingerprint_overlap(F.col("a.fingerprint"), F.col("b.fingerprint"))
+        ).alias("containment"),
+    )
+
+
+@query("media_features")
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video multimodal plumbing: binary payload -> typed metadata +
+    sampled frame/window features (stubbed codec, real batch shape)."""
+    from ..multimodal.media import extract_media_features
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        "doc_id",
+        F.lit(0).alias("media_index"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = extract_media_features(media)
+    return out.select(
+        "doc_id", "kind", "duration_s", "sample_rate", "n_frames",
+        F.size("samples").alias("n_samples"),
+    )
+
+
 @query("image_features")
 def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature plumbing (stubbed decode, real Spark
