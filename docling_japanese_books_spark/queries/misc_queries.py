@@ -96,6 +96,60 @@ def sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "data_uri_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(from_base64(regexp_extract(
+             'data:text/plain;base64,' || to_base64(CAST(text AS BLOB)),
+             ',(.*)$', 1)) AS VARCHAR) AS decoded
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def data_uri_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 base64 data-URI decode (ref image_processor.py:165-171): build a
+    data: URI from the text, then recover the payload via the extraction
+    regex + unbase64 — byte roundtrip checked by the oracle."""
+    from ..functions.text import data_uri_payload
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    # Spark's base64 MIME-chunks long output with \r\n (conf-dependent);
+    # real data URIs are single-line, so strip the wrapping at build time
+    b64 = F.regexp_replace(F.base64(F.encode("text", "utf-8")), r"[\r\n]", "")
+    uri = F.concat(F.lit("data:text/plain;base64,"), b64)
+    return docs.select(
+        "doc_id", F.decode(data_uri_payload(uri), "utf-8").alias("decoded")
+    )
+
+
+@query(
+    "doc_indicator_flags",
+    """
+    SELECT doc_id,
+           regexp_matches(text || ' 縦書き sample', '(?i)(?:sushi|ramen|tempura|yakitori)') AS food_indicator,
+           (   contains(lower(text || ' 縦書き sample'), 'vertical')
+            OR contains(lower(text || ' 縦書き sample'), 'horizontal')
+            OR contains(lower(text || ' 縦書き sample'), '縦書き')
+            OR contains(lower(text || ' 縦書き sample'), '横書き')
+            OR contains(lower(text || ' 縦書き sample'), 'right-to-left')) AS layout_cue
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def doc_indicator_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 keyword indicators + X8 layout-orientation flags
+    (ref image_processor.py:338-371), over text with a JP layout marker
+    appended so the positive path is exercised on every row."""
+    from ..functions.text import layout_cues
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tagged = F.concat(F.col("text"), F.lit(" 縦書き sample"))
+    return docs.select(
+        "doc_id",
+        tagged.rlike("(?i)(?:sushi|ramen|tempura|yakitori)").alias("food_indicator"),
+        layout_cues(tagged).alias("layout_cue"),
+    )
+
+
+@query(
     "chunk_image_enrichment",
     """
     SELECT doc_id, 0 AS chunk_index,
