@@ -20,7 +20,6 @@ Target schema (north-rule input hint):
 from __future__ import annotations
 
 import datetime as dt
-import hashlib
 import html as html_mod
 import random
 from typing import Iterator, List

@@ -28,7 +28,7 @@ but batching keeps the Python boundary amortized (no per-row UDF calls).
 from __future__ import annotations
 
 import re
-from typing import Iterable, List, Tuple
+from typing import List, Tuple
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame

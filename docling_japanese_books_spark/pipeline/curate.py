@@ -17,7 +17,7 @@ key exchanges) regardless of corpus size.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
+
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
