@@ -44,6 +44,68 @@ def topk_bruteforce(
     )
 
 
+def _cell_assign_expr(vec: Column, cent_vecs: "np.ndarray", cent_norms: "np.ndarray") -> Column:
+    """argmax-cosine cell id as pure column algebra over literal centroids."""
+
+    def dot_literal(v: Column, plane) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sims = [dot_literal(vec, c) / float(n) for c, n in zip(cent_vecs, cent_norms)]
+    arr = F.array(*sims)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def train_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    n_iters: int = 3,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd iterations for IVF centroids.
+
+    Init = first n_cells vectors by id (deterministic). Each iteration:
+    assign cells JVM-side (argmax over literal centroids), per-cell means
+    via dim per-element averages (one shuffle on the cell id), collect the
+    k x dim result (tiny) and fold into the next plan. Empty cells keep
+    their previous centroid. 3 iterations = 3 jobs; the corpus is scanned,
+    never collected."""
+    cents = np.array(
+        [
+            [float(x) for x in r[0]]
+            for r in corpus.select(vec_col).orderBy(corpus_id).limit(n_cells).collect()
+        ],
+        dtype=np.float64,
+    )
+    for _ in range(n_iters):
+        norms = np.linalg.norm(cents, axis=1)
+        norms[norms == 0] = 1.0
+        assigned = corpus.withColumn(
+            "_cell", _cell_assign_expr(F.col(vec_col), cents, norms)
+        )
+        means = (
+            assigned.groupBy("_cell")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in means:
+            new[r["_cell"]] = [r[f"m{i}"] for i in range(dim)]
+        cents = new
+    return cents
+
+
 def topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -51,6 +113,7 @@ def topk_ivf(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids: "np.ndarray | None" = None,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
@@ -69,30 +132,25 @@ def topk_ivf(
     pairs) on the cell id, then per-query rank. Recall grows with n_probe
     (n_probe = n_cells degenerates to exact brute force).
     """
-    cents = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.select(corpus_id, vec_col).orderBy(corpus_id).limit(n_cells).collect()
-    ]
-    cent_vecs = np.array([c[1] for c in cents], dtype=np.float64)
+    if centroids is None:
+        cent_vecs = np.array(
+            [
+                [float(x) for x in r[0]]
+                for r in corpus.select(vec_col)
+                .orderBy(corpus_id)
+                .limit(n_cells)
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+    else:
+        cent_vecs = np.asarray(centroids, dtype=np.float64)
     cent_norms = np.linalg.norm(cent_vecs, axis=1)
     cent_norms[cent_norms == 0] = 1.0
 
-    def cell_expr(vec: Column) -> Column:
-        sims = [
-            dot_literal(vec, c) / float(n) for c, n in zip(cent_vecs, cent_norms)
-        ]
-        arr = F.array(*sims)
-        return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
-
-    def dot_literal(vec: Column, plane) -> Column:
-        lit = F.array(*[F.lit(float(x)) for x in plane])
-        return F.aggregate(
-            F.zip_with(vec, lit, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    c = corpus.withColumn("_cell", cell_expr(F.col(vec_col)))
+    c = corpus.withColumn(
+        "_cell", _cell_assign_expr(F.col(vec_col), cent_vecs, cent_norms)
+    )
 
     q_rows = queries.select(query_id, vec_col).collect()
     probe_pairs = []
@@ -150,20 +208,27 @@ def topk_lsh(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 42,
+    n_probe_bits: int = 0,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket.
 
-    Recall is tunable via n_planes (fewer planes -> bigger buckets ->
-    higher recall, more compute). Multi-probe (flipping one bit) would
-    raise recall further; kept single-probe for plan clarity."""
+    Recall is tunable two ways: fewer planes -> bigger buckets; and
+    multi-probe (``n_probe_bits`` > 0) -> each query also probes the
+    buckets reachable by flipping one of its first ``n_probe_bits`` sign
+    bits (the nearest neighboring half-spaces). Multi-probe multiplies the
+    query side only — the corpus is bucketed once and never moves."""
     c = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    base_bucket = lsh_bucket(F.col(vec_col), dim, n_planes, seed)
+    probes = F.array(
+        base_bucket, *[base_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_probe_bits)]
+    )
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qvec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
+        F.explode(probes).alias("_bucket"),
     )
     scored = c.join(F.broadcast(q), "_bucket").select(
         query_id,

@@ -93,3 +93,64 @@ def test_ivf_probe_limits_candidates(spark, emb):
     assert approx
     for r in approx:  # scores must agree with exact cosine
         assert abs(bf[(r.query_id, r.vec_id)] - r.score) < 1e-9
+
+
+def test_lsh_multiprobe_recall_monotone(spark, emb):
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter("vec_id >= 5")
+    bf_top1 = {
+        r.query_id: r.vec_id
+        for r in topk_bruteforce(queries, corpus, k=1).collect()
+    }
+
+    def recall(n_probe_bits: int) -> float:
+        got = {
+            r.query_id: r.vec_id
+            for r in topk_lsh(
+                queries, corpus, dim=64, k=1, n_planes=8, n_probe_bits=n_probe_bits
+            ).collect()
+            if r.rank == 1
+        }
+        return sum(got.get(q) == v for q, v in bf_top1.items()) / len(bf_top1)
+
+    r0, r4 = recall(0), recall(4)
+    assert r4 >= r0  # probing more buckets never reduces recall
+    # multi-probe candidate sets strictly contain single-probe sets
+    single = {(r.query_id, r.vec_id) for r in topk_lsh(
+        queries, corpus, dim=64, k=50, n_planes=8, n_probe_bits=0).collect()}
+    multi = {(r.query_id, r.vec_id) for r in topk_lsh(
+        queries, corpus, dim=64, k=50, n_planes=8, n_probe_bits=4).collect()}
+    assert single <= multi
+
+
+def test_ivf_trained_centroids(spark, emb):
+    import numpy as np
+    from docling_japanese_books_spark.operators.similarity import (
+        topk_ivf,
+        train_centroids,
+    )
+
+    corpus = emb.filter("vec_id >= 2")
+    cents = train_centroids(corpus, dim=64, n_cells=4, n_iters=2)
+    assert cents.shape == (4, 64)
+
+    # training must be deterministic
+    cents2 = train_centroids(corpus, dim=64, n_cells=4, n_iters=2)
+    assert np.allclose(cents, cents2)
+
+    # trained centroids plug into the same search plan; scores stay exact
+    queries = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = topk_ivf(
+        queries, corpus, dim=64, k=3, n_cells=4, n_probe=4, centroids=cents
+    ).collect()
+    bf = {
+        (r.query_id, r.vec_id): r.score
+        for r in topk_bruteforce(queries, corpus, k=1000).collect()
+    }
+    assert out
+    for r in out:
+        assert abs(bf[(r.query_id, r.vec_id)] - r.score) < 1e-9
