@@ -61,3 +61,22 @@ def test_stats(spark, capsys, tmp_path):
     assert rc == 0
     out = capsys.readouterr().out
     assert "pdf: 1" in out and "txt: 1" in out
+
+
+def test_json_export_sink_roundtrip(spark, tmp_path):
+    """S6 JSON export (ref processor.py:437-439) + S8 JSONL: chunks written
+    as real JSON lines read back losslessly."""
+    from docling_japanese_books_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "eins zwei drei")],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, method="words", max_chunk_length=12)
+    out = str(tmp_path / "chunks_json")
+    chunks.write.mode("overwrite").json(out)
+    back = spark.read.json(out)
+    assert back.count() == chunks.count()
+    orig = {(r.doc_id, r.chunk_index): r.text for r in chunks.collect()}
+    got = {(r.doc_id, r.chunk_index): r.text for r in back.collect()}
+    assert orig == got
