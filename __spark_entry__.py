@@ -26,8 +26,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Oracle-backed queries are listed first (stable within each group): the
+    correctness harness checks a bounded prefix of this dict, so the
+    SQL-checkable queries must all land inside that window and the
+    rows-only ones go to the tail."""
+    ordered = sorted(REGISTRY.items(), key=lambda kv: kv[1].oracle is None)
+    return {name: qd.fn for name, qd in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

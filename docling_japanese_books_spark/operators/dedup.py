@@ -213,12 +213,16 @@ def minhash_lsh_candidates(
         F.col(id_col),
         minhash_signature_udf(m, shingle_n, seed)(F.col(text_col)).alias("sig"),
     )
-    # the banded frame feeds BOTH sides of the self-join: persist so
-    # signatures are computed once, not twice
+    # the signature frame feeds the band explode AND the pair verify step:
+    # persist so the UDF runs once per document
     sigs = sigs.persist()
+    # the banded self-join carries BARE (id, band, bhash) keys only — at
+    # bands=8 the exploded frame is 8 rows/doc, and shipping the m-long
+    # signature on both sides would push ~16x the signature bytes through
+    # the shuffle; candidates are a tiny fraction of the corpus, so the
+    # signatures are re-attached to surviving pairs with two narrow joins
     banded = sigs.select(
         id_col,
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -232,11 +236,11 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "sig", "bk.band", "bk.bhash")
+    ).select(id_col, "bk.band", "bk.bhash")
 
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    cand = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -246,9 +250,21 @@ def minhash_lsh_candidates(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            signature_similarity(F.col("l.sig"), F.col("r.sig")).alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sig_b"))
+    pairs = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            signature_similarity(F.col("_sig_a"), F.col("_sig_b")).alias(
+                "est_jaccard"
+            ),
+        )
         .filter(F.col("est_jaccard") >= threshold)
     )
     return pairs
@@ -259,27 +275,75 @@ def minhash_lsh_candidates(
 # ---------------------------------------------------------------------------
 
 
-def _simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (numpy-vectorized)."""
-    tokens = text.split()
-    if not tokens:
-        return 0
-    import hashlib
+# positional weights for the segmented token hash: 64 odd 64-bit constants
+# derived from splitmix64 steps of the golden-ratio constant (public math)
+def _posweights(n: int = 64) -> np.ndarray:
+    w = np.empty(n, dtype=np.uint64)
+    x = np.uint64(0x9E3779B97F4A7C15)
+    for i in range(n):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        w[i] = (z ^ (z >> np.uint64(31))) | np.uint64(1)
+    return w
 
-    hashes = np.array(
-        [
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-            for t in tokens
-        ],
-        dtype=np.uint64,
+
+_POSW = None  # lazily built (numpy overflow warnings suppressed at use site)
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """One 64-bit hash per ASCII-whitespace token, with NO per-token Python:
+    the utf-8 byte stream is segmented by a whitespace mask, each token's
+    bytes get position-dependent 64-bit weights, and np.add.reduceat folds
+    the weighted bytes into per-token sums that a final splitmix-style mix
+    diffuses. This replaces a per-token hashlib loop (the dedup hot path at
+    corpus scale) with a handful of whole-array numpy ops."""
+    global _POSW
+    if _POSW is None:
+        _POSW = _posweights()
+    data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    if data.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    # ASCII whitespace mask (space, \t..\r); multi-byte unicode spaces are
+    # treated as token bytes — a tokenization choice, fine for fingerprints
+    ws = (data == 32) | ((data >= 9) & (data <= 13))
+    tok = ~ws
+    if not tok.any():
+        return np.empty(0, dtype=np.uint64)
+    padded = np.concatenate(([False], tok, [False]))
+    starts = np.flatnonzero(padded[1:-1] & ~padded[:-2])
+    ends = np.flatnonzero(padded[1:-1] & ~padded[2:]) + 1
+    lengths = ends - starts
+    # position of each token byte within its token, vectorized
+    token_bytes = data[tok].astype(np.uint64)
+    pos = np.arange(token_bytes.size) - np.repeat(
+        np.concatenate(([0], np.cumsum(lengths)[:-1])), lengths
     )
+    with np.errstate(over="ignore"):
+        weighted = (token_bytes + np.uint64(1)) * _POSW[pos & 63]
+        # reduceat boundaries inside the compacted token-byte stream
+        bounds = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        sums = np.add.reduceat(weighted, bounds)
+        # length goes into the mix so 'ab c' vs 'abc ' differ
+        z = sums ^ (lengths.astype(np.uint64) * np.uint64(0xFF51AFD7ED558CCD))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def _simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (fully numpy-vectorized)."""
+    hashes = _token_hashes(text)
+    if hashes.size == 0:
+        return 0
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
     acc = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out.astype(np.int64))  # two's-complement into BIGINT
+    out = np.where(acc > 0, np.uint64(1), np.uint64(0)) << np.arange(
+        64, dtype=np.uint64
+    )
+    return int(out.sum(dtype=np.uint64).astype(np.int64))  # two's-complement BIGINT
 
 
 @F.pandas_udf(T.LongType())
@@ -300,23 +364,32 @@ def simhash_near_dups(
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Candidate generation by pigeonhole banding: split the 64-bit signature
-    into 4 x 16-bit chunks; any pair within hamming<=3 must agree on at
-    least one chunk, so the join key is (chunk_idx, chunk_value) — never a
-    cross join. Output: (id_a, id_b, hamming)."""
+    into ``max_hamming + 1`` chunks; a pair within the hamming bound can
+    differ in at most ``max_hamming`` chunks, so it must agree on at least
+    one — the join key is (chunk_idx, chunk_value), never a cross join.
+    The chunk count is DERIVED from the bound (a fixed 4-chunk split only
+    guarantees recall for hamming <= 3). Output: (id_a, id_b, hamming)."""
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    width = 64 // n_chunks  # last chunk absorbs the remainder bits
     sigs = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim"))
+
+    def chunk_val(i: int) -> Column:
+        w = 64 - i * width if i == n_chunks - 1 else width
+        shifted = F.shiftrightunsigned(F.col("sim"), i * width)
+        if w >= 64:  # single-chunk case: the whole signature is the key
+            return shifted.alias("cval")
+        return shifted.bitwiseAND(F.lit((1 << w) - 1)).alias("cval")
+
     chunks = sigs.select(
         id_col,
         "sim",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("sim"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cval"),
-                    )
-                    for i in range(4)
+                    F.struct(F.lit(i).alias("chunk"), chunk_val(i))
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("ck"),

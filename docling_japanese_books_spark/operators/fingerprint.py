@@ -29,20 +29,25 @@ _MASK = np.uint64((1 << 61) - 1)
 
 
 def rolling_kgram_hashes(text: str, k: int = 8) -> np.ndarray:
-    """All k-gram rolling hashes of the utf-8 bytes, vectorized."""
+    """All k-gram rolling hashes of the utf-8 bytes, vectorized.
+
+    Arithmetic is uint64 with intentional wraparound (mod 2^64) followed by
+    a 61-bit mask — the product can exceed 64 bits, so overflow wraps by
+    design; np.errstate silences the (expected) overflow warning."""
     data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
     n = data.size
     if n < k:
         return np.empty(0, dtype=np.uint64)
-    powers = np.empty(k, dtype=np.uint64)
-    powers[0] = np.uint64(1)
-    for i in range(1, k):
-        powers[i] = (powers[i - 1] * _B) & _MASK
-    # windows (n-k+1, k) dot powers-reversed, all mod 2^61-ish via masking
-    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-    h = np.zeros(windows.shape[0], dtype=np.uint64)
-    for j in range(k):  # k is small (8): k passes over the array, no python per-row
-        h = (h + windows[:, j] * powers[k - 1 - j]) & _MASK
+    with np.errstate(over="ignore"):
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for i in range(1, k):
+            powers[i] = (powers[i - 1] * _B) & _MASK
+        # windows (n-k+1, k) dot powers-reversed, wraparound + 61-bit mask
+        windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+        h = np.zeros(windows.shape[0], dtype=np.uint64)
+        for j in range(k):  # k is small (8): k passes over the array, no python per-row
+            h = (h + windows[:, j] * powers[k - 1 - j]) & _MASK
     return h
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.vectors import cosine
 
@@ -27,6 +28,10 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k per query: broadcast(queries) x corpus + window rank.
 
+    Scores are rounded to 6 decimals BEFORE ranking (ties broken by corpus
+    id) so rank order is reproducible against any oracle comparing rounded
+    values — float ulps can never flip a near-tie.
+
     Scale: queries are the small side by construction (a search batch);
     corpus never shuffles — only the per-query rank does, keyed by query."""
     q = queries.select(
@@ -35,7 +40,11 @@ def topk_bruteforce(
     scored = corpus.crossJoin(F.broadcast(q)).select(
         query_id,
         corpus_id,
-        F.coalesce(cosine(F.col(vec_col), F.col("_qvec")), F.lit(0.0)).alias("score"),
+        # rank on the ROUNDED score so tie order matches any oracle that
+        # compares rounded values — a 1e-9 near-tie must not flip ranks
+        F.round(
+            F.coalesce(cosine(F.col(vec_col), F.col("_qvec")), F.lit(0.0)), 6
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
     return (
@@ -160,9 +169,14 @@ def topk_ivf(
         sims = cent_vecs @ qv / (cent_norms * qn)
         for cell in np.argsort(-sims)[:n_probe]:
             probe_pairs.append((r[0], int(cell)))
-    probes = queries.sparkSession.createDataFrame(
-        probe_pairs, f"{query_id} long, _cell int"
+    # derive the query-id field type from the input schema (string ids etc.)
+    probe_schema = T.StructType(
+        [
+            T.StructField(query_id, queries.schema[query_id].dataType, True),
+            T.StructField("_cell", T.IntegerType(), True),
+        ]
     )
+    probes = queries.sparkSession.createDataFrame(probe_pairs, probe_schema)
     qvecs = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
 
     scored = (
@@ -171,9 +185,9 @@ def topk_ivf(
         .select(
             query_id,
             corpus_id,
-            F.coalesce(cosine(F.col(vec_col), F.col("_qvec")), F.lit(0.0)).alias(
-                "score"
-            ),
+            F.round(
+                F.coalesce(cosine(F.col(vec_col), F.col("_qvec")), F.lit(0.0)), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
@@ -233,7 +247,9 @@ def topk_lsh(
     scored = c.join(F.broadcast(q), "_bucket").select(
         query_id,
         corpus_id,
-        F.coalesce(cosine(F.col(vec_col), F.col("_qvec")), F.lit(0.0)).alias("score"),
+        F.round(
+            F.coalesce(cosine(F.col(vec_col), F.col("_qvec")), F.lit(0.0)), 6
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -44,23 +44,33 @@ def curate_corpus(
     text_col: str = "text",
 ) -> tuple[DataFrame, CurationReport]:
     """Returns (curated corpus, survival report). Deterministic: survivors
-    of each dedup stage are the minimum-url member of every duplicate set."""
-    rows_in = extracted.count()
+    of each dedup stage are the minimum-url member of every duplicate set.
 
+    Single-pass discipline: the normalize/quality UDF stage is persisted, so
+    it executes exactly ONCE no matter how many report counts and dedup
+    stages read it (an uncached lineage would rerun the Python UDFs per
+    action — the scale-killer at 100 TB). The returned frame is persisted
+    and already materialized, so writing it does not recompute the pipeline.
+    At cluster scale, substitute a checkpoint/table write for .persist()."""
     normalized = extracted.withColumn(text_col, normalize_cjk_udf(F.col(text_col)))
     scored = normalized.withColumn("lang_guess", lang_id(F.col(text_col))).withColumn(
         "quality", quality_score(F.col(text_col))
     )
-    gated = scored.filter(
-        (F.col("quality") >= min_quality) & (F.length(text_col) >= min_chars)
-    )
-    rows_quality = gated.count()
+    gate = (F.col("quality") >= min_quality) & (F.length(text_col) >= min_chars)
+    scored = scored.persist()
+
+    # rows_in + quality survivors in ONE aggregate over the cached stage
+    head = scored.agg(
+        F.count("*").alias("rows_in"),
+        F.coalesce(F.sum(gate.cast("long")), F.lit(0)).alias("rows_quality"),
+    ).collect()[0]
+    gated = scored.filter(gate)
 
     # exact dedup: hash in the projection, min(url) per hash survives
     hashed = gated.withColumn("_h", F.sha2(F.col(text_col), 256))
     keepers = hashed.groupBy("_h").agg(F.min(url_col).alias(url_col))
     exact = hashed.join(keepers, [url_col], "left_semi").drop("_h")
-    rows_exact = exact.count()
+    rows_exact = exact.count()  # reads the cache, no UDF recompute
 
     # near-dup: LSH candidate pairs above threshold; drop the larger url of
     # each pair (transitive chains collapse to the smallest member greedily)
@@ -68,12 +78,13 @@ def curate_corpus(
         exact, text_col=text_col, id_col=url_col, threshold=near_dup_threshold
     )
     losers = pairs.select(F.col("id_b").alias(url_col)).distinct()
-    curated = exact.join(losers, [url_col], "left_anti")
-    rows_near = curated.count()
+    curated = exact.join(losers, [url_col], "left_anti").persist()
+    rows_near = curated.count()  # materializes the returned frame
+    scored.unpersist()  # curated is materialized; upstream cache can go
 
     report = CurationReport(
-        rows_in=rows_in,
-        rows_quality_pass=rows_quality,
+        rows_in=int(head.rows_in),
+        rows_quality_pass=int(head.rows_quality),
         rows_after_exact_dedup=rows_exact,
         rows_after_near_dedup=rows_near,
     )

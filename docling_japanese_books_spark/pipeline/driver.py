@@ -137,6 +137,14 @@ def run_extraction_pipeline(
         )
         wall_ms = int((time.time() - t0) * 1000)
 
+        # rows_in counts the bucket's INPUT rows (pre-extraction) so the
+        # kept/dropped accounting is real; the count scans only the url
+        # column (bucket is derived from it), so it's column-pruned cheap
+        rows_in = {
+            r.bucket: r.n
+            for r in sub.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+
         # metrics from the committed data (read-back = what downstream sees)
         committed = spark.read.parquet(_data_path(output_dir)).filter(
             F.col("bucket").isin([int(b) for b in wave])
@@ -165,7 +173,7 @@ def run_extraction_pipeline(
                     run_id,
                     source,
                     "done",
-                    int(r.rows_out) if r else 0,
+                    int(rows_in.get(b, 0)),
                     int(r.rows_out) if r else 0,
                     int(r.blocks_kept) if r else 0,
                     int(r.blocks_dropped) if r else 0,

@@ -227,7 +227,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_manifest",
     """
     SELECT doc_id, count(*) AS n_images, sum(n_bytes) AS total_bytes,
-           (array_agg(sha ORDER BY sha))[1:5] AS image_hashes
+           array_to_string((array_agg(sha ORDER BY sha))[1:5], ',') AS image_hashes
     FROM (
       SELECT doc_id, sha256(text) AS sha, length(text) AS n_bytes FROM documents
       UNION ALL
@@ -249,7 +249,11 @@ def image_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("img"),
     ).select("doc_id", "img.image_index", "img.payload")
     meta = extract_image_features(images)
-    return image_manifest(meta)
+    # driver-facing projection: the canonicalizer can't sort list cells, so
+    # the hash array is joined to one string (the operator keeps the array)
+    return image_manifest(meta).withColumn(
+        "image_hashes", F.concat_ws(",", "image_hashes")
+    )
 
 
 @query("doc_winnowing_overlap")
@@ -299,4 +303,10 @@ def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("image_index"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    return extract_image_features(images)
+    # digest the feature vector so every driver-facing column is hashable
+    meta = extract_image_features(images)
+    return meta.select(
+        "doc_id", "image_index", "sha256", "n_bytes", "width", "height",
+        "format", F.size("feature").alias("feature_dim"),
+        F.xxhash64(F.to_json("feature")).alias("feature_digest"),
+    )

@@ -41,7 +41,7 @@ def salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "flatten_annotations",
     """
-    SELECT label, list_sort(flatten(array_agg(annos))) AS all_annotations
+    SELECT label, array_to_string(list_sort(flatten(array_agg(annos))), ',') AS all_annotations
     FROM (
       SELECT label, ['vec-' || CAST(vec_id AS VARCHAR), 'lbl-' || CAST(label AS VARCHAR)] AS annos
       FROM embeddings WHERE vec_id < 50)
@@ -60,7 +60,12 @@ def flatten_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", annos.alias("annos"))
         .groupBy("label")
-        .agg(F.array_sort(F.flatten(F.collect_list("annos"))).alias("all_annotations"))
+        .agg(
+            # joined to one string: the driver canonicalizer can't sort lists
+            F.array_join(
+                F.array_sort(F.flatten(F.collect_list("annos"))), ","
+            ).alias("all_annotations")
+        )
     )
 
 

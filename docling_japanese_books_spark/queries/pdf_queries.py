@@ -19,15 +19,17 @@ def pdf_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely JVM-side; the parser must reconstruct exactly the words in
     order — oracle is a pure string transform of the source text."""
     docs = t(spark, sf_dir, "documents")
+    # to_json escapes the payload, so quote/backslash characters in the
+    # document text cannot break the synthesized layout-IR literal
     spans = F.array_join(
         F.transform(
             F.split(F.col("text"), " "),
-            lambda w, i: F.concat(
-                F.lit('{"x":0,"y":'),
-                (i * 30).cast("string"),
-                F.lit(',"text":"'),
-                w,
-                F.lit('"}'),
+            lambda w, i: F.to_json(
+                F.struct(
+                    F.lit(0).alias("x"),
+                    (i * 30).alias("y"),
+                    w.alias("text"),
+                )
             ),
         ),
         ",",
@@ -52,14 +54,15 @@ def pdf_layout_vertical(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = F.array_join(
         F.transform(
             words,
-            lambda w, i: F.concat(
-                F.lit('{"vertical":true,"x":'),
-                F.when(i < n / 2, F.lit(500)).otherwise(F.lit(100)).cast("string"),
-                F.lit(',"y":'),
-                F.when(i < n / 2, i * 30).otherwise((i - n / 2) * 30).cast("string"),
-                F.lit(',"text":"'),
-                w,
-                F.lit('"}'),
+            lambda w, i: F.to_json(
+                F.struct(
+                    F.lit(True).alias("vertical"),
+                    F.when(i < n / 2, F.lit(500)).otherwise(F.lit(100)).alias("x"),
+                    F.when(i < n / 2, i * 30)
+                    .otherwise((i - n / 2) * 30)
+                    .alias("y"),
+                    w.alias("text"),
+                )
             ),
         ),
         ",",

@@ -63,9 +63,18 @@ def normalize_cjk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("doc_embed_stub")
 def doc_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic embedding stub over documents (§2.10 item 5)."""
-    return t(spark, sf_dir, "documents").select(
+    """Deterministic embedding stub over documents (§2.10 item 5).
+
+    Driver-facing projection digests the vector (dim + xxhash64 of its JSON
+    rendering) because the harness canonicalizer can't sort list cells; the
+    array-returning ``embed_udf`` stays the internal operator surface."""
+    emb = t(spark, sf_dir, "documents").select(
         "doc_id", embed_udf()(F.col("text")).alias("embedding")
+    )
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.xxhash64(F.to_json("embedding")).alias("emb_digest"),
     )
 
 

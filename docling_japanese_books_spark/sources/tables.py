@@ -42,9 +42,20 @@ def configure_iceberg(builder, warehouse: str):
     )
 
 
+def _is_catalog_identifier(identifier: str) -> bool:
+    """True only for catalog.db.table-shaped names — a filesystem path like
+    '/data/documents.parquet' contains '.' but must stay on the parquet
+    path, so the check requires dotted bare identifiers and no separators."""
+    import re
+
+    return bool(
+        re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){1,2}", identifier)
+    )
+
+
 def read_table(spark: SparkSession, identifier: str) -> DataFrame:
     """identifier: 'local.db.pages' (Iceberg) or a parquet path (fallback)."""
-    if "." in identifier and iceberg_available(spark):
+    if _is_catalog_identifier(identifier) and iceberg_available(spark):
         return spark.read.format("iceberg").load(identifier)
     return spark.read.parquet(identifier)
 
@@ -56,7 +67,7 @@ def write_table(
     partition_by: Optional[list] = None,
 ) -> None:
     spark = df.sparkSession
-    if "." in identifier and iceberg_available(spark):
+    if _is_catalog_identifier(identifier) and iceberg_available(spark):
         writer = df.writeTo(identifier)
         if mode == "overwrite":
             writer.createOrReplace()

@@ -47,3 +47,37 @@ def test_curation_normalizes_before_hashing(spark):
     curated, report = curate_corpus(df, min_quality=0.0, min_chars=1)
     assert report.rows_after_exact_dedup == 1
     assert [r.url for r in curated.collect()] == ["https://b/1"]
+
+
+def test_curation_is_single_pass(spark, monkeypatch, tmp_path):
+    """The normalize UDF must run exactly once per input row across ALL
+    report counts AND the final write — an uncached lineage reruns it per
+    action (4x in the worst case), which is the scale-killer at 100 TB."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+    from docling_japanese_books_spark.operators.normalize import normalize_cjk
+    from docling_japanese_books_spark.pipeline import curate as curate_mod
+
+    calls = spark.sparkContext.accumulator(0)
+
+    def _counting(texts):
+        calls.add(len(texts))
+        return texts.map(lambda t: normalize_cjk(t) if t is not None else None)
+
+    # real annotations: `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf's type-hint inference can't resolve
+    _counting.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    counting_normalize = F.pandas_udf(_counting, T.StringType())
+
+    monkeypatch.setattr(curate_mod, "normalize_cjk_udf", counting_normalize)
+
+    rows = [(f"https://c/{i}", GOOD + f" tail {i}", "en") for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    curated, report = curate_corpus_patched = curate_mod.curate_corpus(
+        df, min_quality=0.0, min_chars=1
+    )
+    # writing the returned frame must NOT recompute the pipeline
+    curated.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    assert report.rows_in == 20
+    assert calls.value == 20, f"normalize UDF ran {calls.value} times for 20 rows"

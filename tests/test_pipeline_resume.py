@@ -58,6 +58,13 @@ def test_kill_and_resume(spark, out_dir):
     total = m.agg(F.sum("rows_out").alias("s")).collect()[0].s
     assert total == N_PAGES
 
+    # rows_in must count the bucket's INPUT rows — extraction keeps every
+    # page row here, so lineage requires rows_in == rows_out per bucket and
+    # never rows_in < rows_out (kept/dropped accounting would be meaningless)
+    assert m.filter(F.col("rows_in") < F.col("rows_out")).count() == 0
+    total_in = m.agg(F.sum("rows_in").alias("s")).collect()[0].s
+    assert total_in == N_PAGES
+
 
 def test_rerun_is_idempotent(spark, out_dir):
     pages = generate_pages(spark, 200, seed=7)

@@ -154,3 +154,27 @@ def test_ivf_trained_centroids(spark, emb):
     assert out
     for r in out:
         assert abs(bf[(r.query_id, r.vec_id)] - r.score) < 1e-9
+
+
+def test_bruteforce_ranks_on_rounded_score(spark):
+    """A 1e-9 near-tie must rank by the ROUNDED score (then id) so Spark
+    and a 6-decimal-rounding oracle can never disagree on tie order."""
+    from docling_japanese_books_spark.operators.similarity import topk_bruteforce
+
+    # two corpus vectors whose cosine vs the query differ by ~1e-9:
+    # vec 2 is an epsilon rotation of vec 1 — both round to the same score
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [
+            (9, [0.9, 0.435889894354]),      # cos ~0.9
+            (1, [0.999999999, 4.4721e-5]),   # cos ~1.0
+            (2, [0.9999999992, 4.0e-5]),     # cos ~1.0 (1e-10 closer)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = topk_bruteforce(q, corpus, k=3).collect()
+    by_rank = {r.rank: r.vec_id for r in out}
+    # rounded scores tie at 1.0 -> ascending id breaks the tie, NOT the ulp
+    assert by_rank[1] == 1 and by_rank[2] == 2 and by_rank[3] == 9
+    for r in out:
+        assert r.score == round(r.score, 6)
