@@ -9,4 +9,5 @@ from . import eval_queries  # noqa: F401
 from . import pdf_queries  # noqa: F401
 from . import misc_queries  # noqa: F401
 from . import analytics_queries  # noqa: F401
+from . import late_queries  # noqa: F401
 from .relational import REGISTRY  # noqa: F401
