@@ -34,16 +34,46 @@ from pyspark.sql import types as T
 COLUMN_TOLERANCE = 20.0  # spans within this x (or y) distance share a column/row
 
 
-def decode_pdf_real(payload: bytes) -> dict:
-    """Real PDF -> layout IR. Gated on a PDF library being available."""
+def decode_pdf_real(payload: bytes, max_pages: Optional[int] = None) -> dict:
+    """Real PDF -> layout IR, gated on a PDF library being available.
+
+    Uses pypdf's text-visitor API: each visited text run carries its text
+    matrix, whose (tx, ty) translation gives the span position; PDF y grows
+    upward, so y is negated to match the IR's top-to-bottom reading order.
+    ``max_pages`` caps decoding (S4, ref processor.py:293 max_num_pages +
+    config.py:50) and marks the IR truncated."""
     try:
-        import pypdf  # type: ignore  # noqa: F401
+        from pypdf import PdfReader  # type: ignore
     except ImportError as ex:  # pragma: no cover — container has no pypdf
         raise NotImplementedError(
             "real PDF decode requires pypdf/pdfminer; feed layout IR directly "
             "or install a PDF library"
         ) from ex
-    raise NotImplementedError("pypdf-based span extraction not wired yet")
+
+    import io
+
+    reader = PdfReader(io.BytesIO(payload))  # pragma: no cover — env-gated
+    total = len(reader.pages)
+    pages = []
+    for i, page in enumerate(reader.pages):
+        if max_pages is not None and i >= max_pages:
+            break
+        spans: List[dict] = []
+
+        def visit(text, cm, tm, font_dict, font_size):
+            t = (text or "").strip()
+            if t:
+                spans.append({"x": float(tm[4]), "y": -float(tm[5]), "text": t})
+
+        page.extract_text(visitor_text=visit)
+        box = page.mediabox
+        pages.append(
+            {"width": float(box.width), "height": float(box.height), "spans": spans}
+        )
+    return {
+        "pages": pages,
+        "truncated": max_pages is not None and total > max_pages,
+    }
 
 
 def _span_text(span: dict) -> str:
@@ -106,8 +136,16 @@ def reconstruct_reading_order(layout: dict) -> str:
     return "\n\n".join(page_texts)
 
 
-def parse_pdf_layout(payload: Optional[bytes]) -> dict:
-    """Pure core: layout-IR bytes -> ordered text + metrics (never raises)."""
+def parse_pdf_layout(
+    payload: Optional[bytes], max_pages: Optional[int] = None
+) -> dict:
+    """Pure core: layout-IR bytes -> ordered text + metrics (never raises).
+
+    ``max_pages`` is the S4 page-count cap (ref processor.py:293 passes
+    ``max_num_pages`` to the converter, limit from config.py:50): documents
+    beyond the cap are processed up to it and reported ``status=
+    'truncated'`` so the metric is visible downstream — nothing silently
+    reads an unbounded document."""
     if payload is None or len(payload) == 0:
         return dict(text="", status="empty", n_pages=0, n_spans=0, error=None)
     try:
@@ -117,12 +155,23 @@ def parse_pdf_layout(payload: Optional[bytes]) -> dict:
             text="", status="decode_error", n_pages=0, n_spans=0, error=str(ex)[:200]
         )
     try:
+        all_pages = layout.get("pages", [])
+        truncated = bool(layout.get("truncated"))  # decoder may pre-truncate
+        if max_pages is not None and len(all_pages) > max_pages:
+            layout = dict(layout, pages=all_pages[:max_pages])
+            truncated = True
         text = reconstruct_reading_order(layout)
         n_pages = len(layout.get("pages", []))
         n_spans = sum(len(p.get("spans", [])) for p in layout.get("pages", []))
+        if not text:
+            status = "no_content"
+        elif truncated:
+            status = "truncated"
+        else:
+            status = "ok"
         return dict(
             text=text,
-            status="ok" if text else "no_content",
+            status=status,
             n_pages=n_pages,
             n_spans=n_spans,
             error=None,
@@ -147,3 +196,14 @@ PDF_EXTRACT_SCHEMA = T.StructType(
 @F.pandas_udf(PDF_EXTRACT_SCHEMA)
 def parse_pdf_udf(payload: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([parse_pdf_layout(p) for p in payload])
+
+
+def parse_pdf_udf_capped(max_pages: int):
+    """S4 variant: page-count cap applied inside the batch (status
+    'truncated' for capped documents)."""
+
+    @F.pandas_udf(PDF_EXTRACT_SCHEMA)
+    def _parse(payload: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([parse_pdf_layout(p, max_pages) for p in payload])
+
+    return _parse

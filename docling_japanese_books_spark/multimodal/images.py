@@ -110,3 +110,62 @@ def image_manifest(meta: DataFrame, doc_col: str = "doc_id") -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.slice(F.sort_array(F.collect_list("sha256")), 1, 5).alias("image_hashes"),
     )
+
+
+def write_image_files(
+    images: DataFrame,
+    out_dir: str,
+    payload_col: str = "payload",
+    doc_col: str = "doc_id",
+    ext: str = "png",
+) -> DataFrame:
+    """S9 write side (ref image_processor.py:29-76 ``extract_and_store_images``
+    writes each picture as ``{sha256(png_bytes)}.png``): content-addressed
+    per-image binary files plus the manifest frame.
+
+    One pass over the payloads: a ``mapInPandas`` stage writes each blob
+    executor-side (no driver funnel) AND yields its metadata row, so the
+    manifest aggregation downstream triggers the writes — payload bytes are
+    scanned exactly once. The filename IS the content hash, so concurrent,
+    duplicate, or retried writes are idempotent (tmp-file + atomic rename).
+    ``out_dir`` must be storage all executors can reach (a local dir on
+    local[*], shared/object storage on a cluster).
+
+    Returns the per-document manifest DataFrame; materializing it performs
+    the writes."""
+    import hashlib as _hashlib
+    import os
+
+    meta_schema = T.StructType(
+        [
+            T.StructField(doc_col, images.schema[doc_col].dataType, True),
+            T.StructField("sha256", T.StringType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            shas, sizes = [], []
+            for payload in pdf[payload_col]:
+                data = bytes(payload) if payload is not None else b""
+                sha = _hashlib.sha256(data).hexdigest()
+                path = os.path.join(out_dir, f"{sha}.{ext}")
+                if data and not os.path.exists(path):  # content-addressed
+                    tmp = f"{path}.tmp-{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        f.write(data)
+                    os.replace(tmp, path)  # atomic publish
+                shas.append(sha)
+                sizes.append(len(data))
+            yield pd.DataFrame(
+                {doc_col: pdf[doc_col], "sha256": shas, "n_bytes": sizes}
+            )
+
+    meta = images.select(doc_col, payload_col).mapInPandas(op, meta_schema)
+    return meta.groupBy(doc_col).agg(
+        F.count("*").alias("n_images"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.slice(F.sort_array(F.collect_list("sha256")), 1, 5).alias("image_hashes"),
+    )

@@ -10,4 +10,5 @@ from . import pdf_queries  # noqa: F401
 from . import misc_queries  # noqa: F401
 from . import analytics_queries  # noqa: F401
 from . import late_queries  # noqa: F401
+from . import structure_queries  # noqa: F401
 from .relational import REGISTRY  # noqa: F401

@@ -214,3 +214,23 @@ def late_vs_traditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0))
         ).alias("improvement_pct"),
     )
+
+
+@query("chunk_by_model_strategy")
+def chunk_by_model_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 strategy map + fallback walk (ref vector_db.py:71-129): BGE-M3
+    resolves to the late-chunking strategy; output digests the pooled
+    vectors so all driver-facing columns stay hashable. Rows-only —
+    the walk itself is pinned by tests/test_structure_strategy.py."""
+    from ..operators.strategy import chunk_with_strategy
+
+    docs = t(spark, sf_dir, "documents")
+    out, used = chunk_with_strategy(docs, "BAAI/bge-m3", max_chunk_length=200)
+    return out.select(
+        "doc_id",
+        "chunk_index",
+        "chunking_method",
+        "token_start",
+        "token_end",
+        r6(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x)).alias("emb_sum"),
+    )

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..extraction.pdf import parse_pdf_udf
+from ..extraction.pdf import parse_pdf_udf, parse_pdf_udf_capped
 from .relational import query, t
 
 
@@ -76,5 +76,50 @@ def pdf_layout_vertical(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e.text") == F.replace(F.col("text"), F.lit(" "), F.lit("\n"))).alias(
             "order_preserved"
         ),
+        F.col("e.n_spans").alias("n_spans"),
+    )
+
+
+@query(
+    "pdf_pages_capped",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 + 1 > 3 THEN 'truncated' ELSE 'ok' END AS status,
+           CAST(least(doc_id % 5 + 1, 3) AS INT) AS n_pages,
+           CAST(least(doc_id % 5 + 1, 3) AS INT) AS n_spans
+    FROM documents
+    """,
+)
+def pdf_pages_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 page-count cap (ref processor.py:293 max_num_pages, config.py:50):
+    each document gets a synthesized (doc_id % 5 + 1)-page layout IR; the
+    capped parser processes at most 3 pages and reports status='truncated'
+    for longer documents — the truncation metric is a first-class status."""
+    docs = t(spark, sf_dir, "documents")
+    n_pages = (F.col("doc_id") % 5 + 1).cast("int")
+    ir = F.encode(
+        F.to_json(
+            F.struct(
+                F.transform(
+                    F.sequence(F.lit(0), n_pages - 1),
+                    lambda i: F.struct(
+                        F.array(
+                            F.struct(
+                                F.lit(0).alias("x"),
+                                F.lit(0).alias("y"),
+                                F.concat(F.lit("p"), i.cast("string")).alias("text"),
+                            )
+                        ).alias("spans")
+                    ),
+                ).alias("pages")
+            )
+        ),
+        "utf-8",
+    )
+    parsed = docs.select("doc_id", parse_pdf_udf_capped(3)(ir).alias("e"))
+    return parsed.select(
+        "doc_id",
+        F.col("e.status").alias("status"),
+        F.col("e.n_pages").alias("n_pages"),
         F.col("e.n_spans").alias("n_spans"),
     )
