@@ -73,3 +73,24 @@ def test_extraction_column_pruning(spark):
         assert "ReadSchema: struct<html:binary>" in plan  # only html is read
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_late_chunking_single_python_stage(plans):
+    # the whole late-chunking text path is ONE mapInPandas stage: no
+    # shuffle, no duplicated Python evaluation
+    p = plans("late_chunking_stub")
+    assert p.count("MapInPandas") == 1
+    assert "Exchange" not in p  # shuffle-free map stage
+
+
+def test_structural_chunker_single_python_stage(plans):
+    assert plans("chunk_structural").count("ArrowEvalPython") == 1
+
+
+def test_minhash_lsh_banded_join_is_slim(plans):
+    # the banded self-join must not carry the 64-long signature through any
+    # exchange: signatures re-attach to surviving pairs only (narrow joins)
+    p = plans("dedup_minhash_lsh")
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "sig" not in line, f"signature shuffled: {line.strip()[:120]}"
