@@ -35,7 +35,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage is redundant (plain agg / window / top-k shapes that other
     green queries already exercise) are demoted to the end of the oracle
     group so unique-coverage queries never fall out of the window."""
-    demoted = ("nations_per_region", "events_running_sum", "top5_expensive_orders")
+    demoted = (
+        "nations_per_region",
+        "events_running_sum",
+        "top5_expensive_orders",
+        "orders_priority_histogram",
+    )
 
     def key(kv):
         name, qd = kv

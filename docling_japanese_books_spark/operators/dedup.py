@@ -410,3 +410,99 @@ def simhash_near_dups(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster collapse (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs by iterative
+    min-label propagation: every node's label converges to the smallest id
+    in its component (the standard MapReduce/Pregel CC formulation — each
+    round, label(x) = min(label(x), min over neighbors' labels); rounds
+    needed = graph diameter, and near-dup clusters are shallow).
+
+    Greedy 'drop id_b of every pair' over-keeps when the candidate graph is
+    sparse: edges (a,c),(b,c) drop only c even though {a,b,c} is one
+    duplicate cluster. Components give exactly one survivor per cluster.
+
+    Each round: (1) neighbor-min propagation, (2) pointer jumping
+    (label(x) <- label(label(x))) — path halving makes convergence
+    O(log diameter) instead of O(diameter). ``localCheckpoint`` truncates
+    the plan every round so the iterative lineage never snowballs (swap for
+    ``checkpoint`` with a checkpoint dir on a real cluster).
+
+    Scale: every step is a join or partial-aggregatable min keyed on node
+    ids; the edge list is the only large state. Output: (node, cluster_id).
+    Nodes not in any pair are absent (their cluster is themselves)."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # (1) neighbor-min propagation
+        neigh = (
+            edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "node")
+        )
+        stepped = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        )
+        # (2) pointer jumping: follow the parent pointer one hop
+        parent = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            stepped.join(parent, "label", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage: O(1) plan per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_cluster_min(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep exactly one row per duplicate cluster (the minimum id) plus all
+    rows that are in no pair — the cluster-correct generalization of
+    'drop every id_b'."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -13,7 +13,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions.vectors import cosine
 
@@ -69,6 +68,35 @@ def _cell_assign_expr(vec: Column, cent_vecs: "np.ndarray", cent_norms: "np.ndar
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
+def _probe_cells_expr(
+    vec: Column, cent_vecs: "np.ndarray", cent_norms: "np.ndarray", n_probe: int
+) -> Column:
+    """Top-``n_probe`` nearest cell ids as column algebra: similarity to
+    every literal centroid, sort (sim, cell) structs descending, slice.
+    Keeps probe selection executor-side so the query frame is never
+    collected to the driver."""
+
+    def dot_literal(v: Column, plane) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(
+                (dot_literal(vec, c) / float(n)).alias("s"),
+                F.lit(i).cast("int").alias("c"),
+            )
+            for i, (c, n) in enumerate(zip(cent_vecs, cent_norms))
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(pairs)), 1, n_probe)
+    return F.transform(top, lambda p: p["c"])
+
+
 def train_centroids(
     corpus: DataFrame,
     dim: int,
@@ -98,19 +126,23 @@ def train_centroids(
         assigned = corpus.withColumn(
             "_cell", _cell_assign_expr(F.col(vec_col), cents, norms)
         )
+        # per-cell per-dimension means via posexplode + groupBy(cell, dim):
+        # avg is partially aggregatable, so the shuffle carries only
+        # k x dim x n_partitions partial sums — and the plan stays O(1)
+        # expressions regardless of dim (a dim-wide avg(element_at) column
+        # list blows up the plan at 1024+ dims)
         means = (
-            assigned.groupBy("_cell")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
-                    for i in range(dim)
-                ]
-            )
+            assigned.select("_cell", F.posexplode(F.col(vec_col)).alias("_d", "_v"))
+            .groupBy("_cell", "_d")
+            .agg(F.avg("_v").alias("_m"))
             .collect()
         )
         new = cents.copy()
+        by_cell: dict = {}
         for r in means:
-            new[r["_cell"]] = [r[f"m{i}"] for i in range(dim)]
+            by_cell.setdefault(r["_cell"], {})[r["_d"]] = r["_m"]
+        for cell, dims in by_cell.items():
+            new[cell] = [dims[i] for i in range(dim)]
         cents = new
     return cents
 
@@ -132,10 +164,12 @@ def topk_ivf(
 
     Centroids are a deterministic sample (first n_cells corpus vectors by
     id) — a kmeans stand-in that keeps the operator dependency-free; swap in
-    trained centroids without touching the plan. Cell assignment is pure
-    column algebra (dot to each literal centroid, argmax); the query batch
-    is driver-resident by definition (it's a search request), so its probe
-    lists are computed in numpy and broadcast as a literal pair table.
+    trained centroids without touching the plan. Cell assignment AND probe
+    selection are pure column algebra over the literal centroids (dot to
+    each centroid; argmax for the corpus cell, top-n_probe sort for the
+    query's probe list) — the query side is never collected to the driver,
+    so ``queries`` may be a full table, not just a search batch. Drop the
+    broadcast hints if the query side outgrows broadcast size.
 
     Scale: corpus never moves — the only join is corpus ⋈ broadcast(probe
     pairs) on the cell id, then per-query rank. Recall grows with n_probe
@@ -161,22 +195,12 @@ def topk_ivf(
         "_cell", _cell_assign_expr(F.col(vec_col), cent_vecs, cent_norms)
     )
 
-    q_rows = queries.select(query_id, vec_col).collect()
-    probe_pairs = []
-    for r in q_rows:
-        qv = np.array(r[1], dtype=np.float64)
-        qn = np.linalg.norm(qv) or 1.0
-        sims = cent_vecs @ qv / (cent_norms * qn)
-        for cell in np.argsort(-sims)[:n_probe]:
-            probe_pairs.append((r[0], int(cell)))
-    # derive the query-id field type from the input schema (string ids etc.)
-    probe_schema = T.StructType(
-        [
-            T.StructField(query_id, queries.schema[query_id].dataType, True),
-            T.StructField("_cell", T.IntegerType(), True),
-        ]
+    probes = queries.select(
+        F.col(query_id),
+        F.explode(
+            _probe_cells_expr(F.col(vec_col), cent_vecs, cent_norms, n_probe)
+        ).alias("_cell"),
     )
-    probes = queries.sparkSession.createDataFrame(probe_pairs, probe_schema)
     qvecs = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
 
     scored = (

@@ -310,3 +310,60 @@ def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "format", F.size("feature").alias("feature_dim"),
         F.xxhash64(F.to_json("feature")).alias("feature_digest"),
     )
+
+
+_NG3 = """
+    SELECT doc_id, CASE WHEN length(text) >= 3
+           THEN list_distinct(list_transform(range(1, length(text) - 1),
+                i -> substr(text, CAST(i AS INT), 3))) ELSE [] END AS g
+    FROM documents
+"""
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+                  THEN len(list_intersect(a.g, b.g)) * 1.0
+                       / len(list_distinct(list_concat(a.g, b.g)))
+                  ELSE 0.0 END AS j
+      FROM ({_NG3}) a JOIN ({_NG3}) b ON a.doc_id + 1 = b.doc_id),
+    linked AS (SELECT id_a, id_b FROM p WHERE j >= 0.5),
+    nodes AS (SELECT id_a AS node FROM linked
+              UNION SELECT id_b FROM linked),
+    marks AS (
+      SELECT node,
+             CASE WHEN node IN (SELECT id_b FROM linked) THEN 0 ELSE 1 END
+               AS is_start
+      FROM nodes),
+    islands AS (
+      SELECT node, sum(is_start) OVER (ORDER BY node) AS grp FROM marks)
+    SELECT node, min(node) OVER (PARTITION BY grp) AS cluster_id FROM islands
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster collapse: consecutive-doc 3-gram-jaccard pairs at
+    threshold 0.5 -> connected components by min-label propagation
+    (operators/dedup.py connected_components). The pair graph here is
+    chains of consecutive ids, so the oracle reproduces the components with
+    a gaps-and-islands window query — the Spark side runs the REAL general
+    CC operator and must converge to the same labels."""
+    from ..operators.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", char_ngrams(F.col("text"), 3).alias("g")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jaccard(F.col("a.g"), F.col("b.g")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return connected_components(pairs)

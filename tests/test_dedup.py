@@ -81,3 +81,38 @@ def test_jaccard_column(spark):
     assert abs(v - 0.5) < 1e-9
     empty = spark.createDataFrame([([], [])], "x array<string>, y array<string>")
     assert empty.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0].j == 0.0
+
+
+def test_connected_components_chain_and_star(spark):
+    from docling_japanese_books_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_cluster_min,
+    )
+
+    # chain 1-2-3, star 10<-{11,12}, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (11, 10), (12, 10), (20, 21)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 10, 11, 12, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_keep_cluster_min(docs, pairs).collect()}
+    # one survivor per cluster + untouched isolated doc
+    assert kept == {1, 10, 20, 99}
+
+
+def test_cluster_min_beats_greedy_on_sparse_graph(spark):
+    from docling_japanese_books_spark.operators.dedup import dedup_keep_cluster_min
+
+    # edges (a,c),(b,c): greedy 'drop id_b' keeps {a, b}; the cluster is
+    # {a,b,c} and must keep only a
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x")], "doc_id long, text string"
+    )
+    kept = {r.doc_id for r in dedup_keep_cluster_min(docs, pairs).collect()}
+    assert kept == {1}
