@@ -119,3 +119,120 @@ def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
     plumbing (binary-in/binary-out, shape metadata) is exercised."""
     tag = f"resized:{width}x{height}:".encode()
     return tag + hashlib.sha256(payload).digest()
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("image_index", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes_in", T.LongType(), True),
+        T.StructField("n_bytes_out", T.LongType(), True),
+    ]
+)
+
+
+def resize_images(
+    images: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    doc_col: str = "doc_id",
+    index_col: str = "image_index",
+) -> DataFrame:
+    """Binary-in/binary-out resize as one Arrow-batched map stage (no
+    shuffle): the Spark plumbing — schema, batch shape, size accounting —
+    is real; the pixel op is ``resize_image_stub`` (swap a PIL thumbnail
+    call in where pillow exists)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, nin, nout = [], [], []
+            for payload in pdf[payload_col]:
+                data = bytes(payload) if payload is not None else b""
+                resized = resize_image_stub(data, width, height)
+                outs.append(resized)
+                nin.append(len(data))
+                nout.append(len(resized))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[doc_col],
+                    "image_index": pdf[index_col],
+                    "width": width,
+                    "height": height,
+                    "payload": outs,
+                    "n_bytes_in": nin,
+                    "n_bytes_out": nout,
+                }
+            )
+
+    return images.select(doc_col, index_col, payload_col).mapInPandas(
+        op, RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("media_index", T.IntegerType(), True),
+        T.StructField("frame_index", T.IntegerType(), True),
+        T.StructField("offset_s", T.DoubleType(), True),
+        T.StructField("frame_sha256", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    n_frames: int = 8,
+    payload_col: str = "payload",
+    doc_col: str = "doc_id",
+    index_col: str = "media_index",
+) -> DataFrame:
+    """Video frame sampling: one row per sampled frame at evenly-spaced
+    offsets (the shape an ffmpeg `-vf fps=` extraction produces). Audio
+    payloads are skipped (kind comes from the decode). Pixel decode is the
+    deterministic fake; the exploded-row plumbing, offsets, and per-frame
+    hashing/features are real. One map stage, no shuffle — at 100 TB the
+    frame explosion multiplies rows ~n_frames x inside the stage without
+    ever exchanging payload bytes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, midx, payload in zip(
+                pdf[doc_col], pdf[index_col], pdf[payload_col]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                meta = fake_decode_media(data, n_samples=n_frames)
+                if meta["kind"] != "video":
+                    continue
+                for i, s in enumerate(meta["samples"]):
+                    start = (i * 16) % max(1, len(data))
+                    window = data[start : start + 64] or b"\0"
+                    rows.append(
+                        (
+                            did,
+                            int(midx),
+                            i,
+                            s["offset_s"],
+                            hashlib.sha256(window).hexdigest(),
+                            s["feature"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_index",
+                    "frame_index",
+                    "offset_s",
+                    "frame_sha256",
+                    "feature",
+                ],
+            )
+
+    return media.select(doc_col, index_col, payload_col).mapInPandas(op, FRAME_SCHEMA)

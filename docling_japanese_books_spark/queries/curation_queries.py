@@ -367,3 +367,53 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return connected_components(pairs)
+
+
+@query("media_frame_sample")
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (task brief: frame-sample as a
+    first-class multimodal op): synthesized binary media per doc -> one row
+    per sampled frame with offset + per-frame hash. Rows-only (fake codec);
+    batch shape pinned by tests/test_fingerprint_media.py."""
+    from ..multimodal.media import sample_frames
+
+    docs = t(spark, sf_dir, "documents").limit(200)
+    media = docs.select(
+        "doc_id",
+        F.lit(0).alias("media_index"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    frames = sample_frames(media, n_frames=4)
+    return frames.select(
+        "doc_id",
+        "media_index",
+        "frame_index",
+        "offset_s",
+        "frame_sha256",
+        F.xxhash64(F.to_json("feature")).alias("feature_digest"),
+    )
+
+
+@query("image_resize")
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in/binary-out image resize plumbing (task brief: resize as a
+    first-class multimodal op; stub pixels, real batch shape + size
+    accounting). Rows-only."""
+    from ..multimodal.media import resize_images
+
+    docs = t(spark, sf_dir, "documents").limit(200)
+    images = docs.select(
+        "doc_id",
+        F.lit(0).alias("image_index"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    resized = resize_images(images, width=64, height=64)
+    return resized.select(
+        "doc_id",
+        "image_index",
+        "width",
+        "height",
+        F.sha2("payload", 256).alias("payload_sha"),
+        "n_bytes_in",
+        "n_bytes_out",
+    )

@@ -98,3 +98,58 @@ class TestMedia:
     def test_resize_stub_tagged(self):
         out = resize_image_stub(b"img", 32, 16)
         assert out.startswith(b"resized:32x16:") and len(out) > 14
+
+
+def test_resize_images_plumbing(spark):
+    from docling_japanese_books_spark.multimodal.media import (
+        resize_image_stub,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, b"image-a"), (2, 0, b"image-b")],
+        "doc_id long, image_index int, payload binary",
+    )
+    out = {r.doc_id: r for r in resize_images(df, 32, 16).collect()}
+    assert out[1].width == 32 and out[1].height == 16
+    assert bytes(out[1].payload) == resize_image_stub(b"image-a", 32, 16)
+    assert out[1].n_bytes_in == len(b"image-a")
+    assert out[1].n_bytes_out == len(bytes(out[1].payload))
+
+
+def test_sample_frames_video_only_and_deterministic(spark):
+    import hashlib
+
+    from docling_japanese_books_spark.multimodal.media import (
+        fake_decode_media,
+        sample_frames,
+    )
+
+    # find payloads that the fake codec classifies as video vs audio
+    vid = aud = None
+    for i in range(64):
+        p = f"payload-{i}".encode()
+        kind = fake_decode_media(p)["kind"]
+        if kind == "video" and vid is None:
+            vid = p
+        if kind == "audio" and aud is None:
+            aud = p
+        if vid and aud:
+            break
+    df = spark.createDataFrame(
+        [(1, 0, vid), (2, 0, aud)], "doc_id long, media_index int, payload binary"
+    )
+    rows = sample_frames(df, n_frames=4).collect()
+    assert {r.doc_id for r in rows} == {1}  # audio rows skipped
+    assert sorted(r.frame_index for r in rows) == [0, 1, 2, 3]
+    meta = fake_decode_media(vid, n_samples=4)
+    by_idx = {r.frame_index: r for r in rows}
+    for i, s in enumerate(meta["samples"]):
+        assert abs(by_idx[i].offset_s - s["offset_s"]) < 1e-9
+        start = (i * 16) % len(vid)
+        assert by_idx[i].frame_sha256 == hashlib.sha256(
+            vid[start : start + 64] or b"\0"
+        ).hexdigest()
+    # evenly spaced offsets within the fake duration
+    offs = [by_idx[i].offset_s for i in range(4)]
+    assert offs == sorted(offs) and offs[0] == 0.0
