@@ -106,6 +106,27 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_chunk(args) -> int:
+    """C7 end-to-end: pick the model's preferred chunking strategy (with
+    fallback walk), chunk, write parquet tagged with chunking_method."""
+    from pyspark.sql import functions as F
+
+    from .operators.strategy import chunk_with_strategy
+    from .session import get_spark
+
+    spark = get_spark("cli-chunk")
+    docs = spark.read.parquet(args.input)
+    id_col = "doc_id" if "doc_id" in docs.columns else "url"
+    docs = docs.select(F.col(id_col).alias("doc_id"), "text")
+    chunks, strategy = chunk_with_strategy(
+        docs, args.model, max_chunk_length=args.max_chunk_length
+    )
+    chunks.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"strategy={strategy} chunks={n} -> {args.output}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .sources.files import discover_files, extension_histogram
     from .session import get_spark
@@ -147,6 +168,13 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--min-quality", type=float, default=0.3)
     cu.add_argument("--near-dup", type=float, default=0.85)
     cu.set_defaults(fn=cmd_curate)
+
+    ch = sub.add_parser("chunk", help="chunk with a model's preferred strategy")
+    ch.add_argument("input", help="documents parquet (doc_id/url, text)")
+    ch.add_argument("-o", "--output", required=True)
+    ch.add_argument("-m", "--model", default="BAAI/bge-m3")
+    ch.add_argument("--max-chunk-length", type=int, default=500)
+    ch.set_defaults(fn=cmd_chunk)
 
     st = sub.add_parser("stats", help="file-type histogram of a directory")
     st.add_argument("directory")

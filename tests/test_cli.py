@@ -80,3 +80,24 @@ def test_json_export_sink_roundtrip(spark, tmp_path):
     orig = {(r.doc_id, r.chunk_index): r.text for r in chunks.collect()}
     got = {(r.doc_id, r.chunk_index): r.text for r in back.collect()}
     assert orig == got
+
+
+def test_chunk_command(spark, tmp_path, capsys):
+    from docling_japanese_books_spark.__main__ import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "最初の文です。二番目の文です。三番目の文です。")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "chunks")
+    assert main(["chunk", src, "-o", out, "-m", "BAAI/bge-m3",
+                 "--max-chunk-length", "15"]) == 0
+    printed = capsys.readouterr().out
+    assert "strategy=late" in printed
+    rows = spark.read.parquet(out).collect()
+    assert rows and all(r.chunking_method == "late" for r in rows)
+
+    out2 = str(tmp_path / "chunks2")
+    assert main(["chunk", src, "-o", out2, "-m", "Snowflake/arctic"]) == 0
+    assert "strategy=traditional" in capsys.readouterr().out
