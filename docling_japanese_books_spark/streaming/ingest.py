@@ -85,3 +85,39 @@ def dedup_recrawls(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFr
     return pages_stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["url"]
     )
+
+
+def incremental_late_chunk(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema: str = "doc_id long, text string",
+    max_chunk_length: int = 200,
+) -> None:
+    """Streaming late chunking (S11 on a stream): new document files ->
+    span-pooled chunk embeddings, exactly-once via the file-source
+    checkpoint. The late_chunk operator is a stateless mapInPandas, so it
+    composes with Structured Streaming unchanged — the streaming face of
+    the flagship batch path. The pooled vector is stored alongside a
+    digest column so downstream vector sinks and relational sinks both
+    read it directly."""
+    from ..operators.late_chunking import late_chunk
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    chunks = late_chunk(
+        stream, method="words", max_chunk_length=max_chunk_length
+    ).withColumn("emb_digest", F.xxhash64(F.to_json("embedding")))
+    q = (
+        chunks.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

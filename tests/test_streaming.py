@@ -86,3 +86,41 @@ def test_dedup_recrawls_streaming(spark, dirs):
     got = spark.sql("SELECT url FROM dedup_out").collect()
     urls = sorted(r.url for r in got)
     assert urls == ["https://a/1", "https://a/2"]
+
+
+def test_incremental_late_chunk_exactly_once(spark, dirs):
+    from docling_japanese_books_spark.operators.late_chunking import (
+        late_chunk_document,
+    )
+    from docling_japanese_books_spark.streaming.ingest import incremental_late_chunk
+
+    docs1 = [(i, f"streaming document number {i} with several words") for i in range(20)]
+    spark.createDataFrame(docs1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["in"])
+    incremental_late_chunk(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    out1 = spark.read.parquet(dirs["out"])
+    n1 = out1.count()
+    assert n1 > 0
+    assert out1.filter(F.col("chunking_method") != "late").count() == 0
+
+    # restart with no new data: nothing reprocessed
+    incremental_late_chunk(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    assert spark.read.parquet(dirs["out"]).count() == n1
+
+    # new batch appends only its own chunks
+    docs2 = [(100 + i, f"late batch {i} of the stream") for i in range(5)]
+    spark.createDataFrame(docs2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["in"])
+    incremental_late_chunk(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    out = spark.read.parquet(dirs["out"])
+    extra = sum(
+        len(late_chunk_document(t, max_chunk_length=200, method="words"))
+        for _, t in docs2
+    )
+    assert out.count() == n1 + extra
+    # streamed chunks match the batch operator byte-for-byte
+    row = out.filter(F.col("doc_id") == 100).orderBy("chunk_index").collect()
+    expect = late_chunk_document(docs2[0][1], max_chunk_length=200, method="words")
+    assert [r.text for r in row] == [c["text"] for c in expect]
