@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_sum",
         "top5_expensive_orders",
         "orders_priority_histogram",
+        "customers_with_orders",  # left_semi also green via doc_dedup_exact
     )
 
     def key(kv):

@@ -214,10 +214,34 @@ def doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_quality_score")
+@query(
+    "doc_quality_score",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             greatest(length(text), 1) * 1.0 AS n,
+             greatest(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+                      1) * 1.0 AS toks,
+             len(regexp_extract_all(text, '[.,;:!?。！？、]')) * 1.0 AS punct,
+             len(regexp_extract_all(text, '[A-Z]')) * 1.0 AS upper_n,
+             len(regexp_extract_all(lower(text),
+                 '\b(?:the|and|of|to|in|is|that|it|for|was)\b')) * 1.0 AS stop
+      FROM documents)
+    SELECT doc_id,
+           round(
+             0.3 * least(n / 500.0, 1.0)
+           + 0.2 * (CASE WHEN punct / toks > 0.5 THEN 0.0
+                    ELSE 1.0 - punct / toks END)
+           + 0.2 * (CASE WHEN upper_n / n > 0.3 THEN 0.3 ELSE 1.0 END)
+           + 0.3 * least(stop / toks * 4.0, 1.0), 6) AS quality
+    FROM base
+    """,
+)
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score (rows-only: formula is ours, pinned by
-    tests/test_textstats.py)."""
+    """Composite quality score (length / punctuation / shouting / stopword
+    signals), pure codegen'd regexp algebra — oracle-checked, formula also
+    pinned by tests/test_textstats.py."""
     return t(spark, sf_dir, "documents").select(
         "doc_id", quality_score(F.col("text")).alias("quality")
     )
