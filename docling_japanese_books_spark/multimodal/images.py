@@ -152,7 +152,9 @@ def write_image_files(
                 data = bytes(payload) if payload is not None else b""
                 sha = _hashlib.sha256(data).hexdigest()
                 path = os.path.join(out_dir, f"{sha}.{ext}")
-                if data and not os.path.exists(path):  # content-addressed
+                # empty payloads are written too: every sha the manifest
+                # records must resolve to a real file
+                if not os.path.exists(path):  # content-addressed: idempotent
                     tmp = f"{path}.tmp-{os.getpid()}"
                     with open(tmp, "wb") as f:
                         f.write(data)

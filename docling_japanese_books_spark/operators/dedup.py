@@ -279,13 +279,14 @@ def minhash_lsh_candidates(
 # derived from splitmix64 steps of the golden-ratio constant (public math)
 def _posweights(n: int = 64) -> np.ndarray:
     w = np.empty(n, dtype=np.uint64)
-    x = np.uint64(0x9E3779B97F4A7C15)
-    for i in range(n):
-        x = (x + np.uint64(0x9E3779B97F4A7C15))
-        z = x
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        w[i] = (z ^ (z >> np.uint64(31))) | np.uint64(1)
+    with np.errstate(over="ignore"):  # wraparound mod 2^64 is the intent
+        x = np.uint64(0x9E3779B97F4A7C15)
+        for i in range(n):
+            x = (x + np.uint64(0x9E3779B97F4A7C15))
+            z = x
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            w[i] = (z ^ (z >> np.uint64(31))) | np.uint64(1)
     return w
 
 
@@ -305,9 +306,22 @@ def _token_hashes(text: str) -> np.ndarray:
     data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
     if data.size == 0:
         return np.empty(0, dtype=np.uint64)
-    # ASCII whitespace mask (space, \t..\r); multi-byte unicode spaces are
-    # treated as token bytes — a tokenization choice, fine for fingerprints
-    ws = (data == 32) | ((data >= 9) & (data <= 13))
+    # whitespace mask matching str.split()'s ASCII set (9-13, 28-31, 32)
+    # plus U+3000 IDEOGRAPHIC SPACE (E3 80 80 in utf-8) — the separator
+    # Japanese book text actually uses; other exotic unicode spaces are
+    # treated as token bytes (documented tokenization choice)
+    ws = (
+        (data == 32)
+        | ((data >= 9) & (data <= 13))
+        | ((data >= 28) & (data <= 31))
+    )
+    if data.size >= 3:
+        ideo = (data[:-2] == 0xE3) & (data[1:-1] == 0x80) & (data[2:] == 0x80)
+        hits = np.flatnonzero(ideo)
+        if hits.size:
+            ws[hits] = True
+            ws[hits + 1] = True
+            ws[hits + 2] = True
     tok = ~ws
     if not tok.any():
         return np.empty(0, dtype=np.uint64)

@@ -44,10 +44,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .chunking import simple_sentence_chunker, word_chunker
+from .chunking import _CHUNKERS  # simple / enhanced / words — single registry
 from .embedding import DEFAULT_DIM, embed_text
-
-_CHUNKERS = {"simple": simple_sentence_chunker, "words": word_chunker}
 
 
 # ---------------------------------------------------------------------------
@@ -191,13 +189,20 @@ def token_span_cols(
     char_start: Column, char_end: Column, doc_length: Column, seq_len: Column
 ) -> Tuple[Column, Column]:
     """The reference's proportional mapping as column algebra (floor ==
-    int() truncation for non-negative operands)."""
+    int() truncation for non-negative operands).
+
+    Operation ORDER matters for float parity with the Python/reference
+    arithmetic: int((cs / dl) * seq) divides FIRST — e.g. cs=29, dl=100,
+    seq=100 gives int(28.999...) = 28, while floor(cs * seq / dl) = 29.
+    The column expression (and the SQL oracles) must divide first too."""
     ts = F.greatest(
-        F.lit(0), F.floor(char_start * seq_len / doc_length)
+        F.lit(0), F.floor((char_start / doc_length) * seq_len)
     ).cast("long")
     te = F.least(
         seq_len.cast("long"),
-        F.greatest(ts + 1, F.floor(char_end * seq_len / doc_length).cast("long")),
+        F.greatest(
+            ts + 1, F.floor((char_end / doc_length) * seq_len).cast("long")
+        ),
     )
     return ts, te
 
@@ -262,9 +267,22 @@ def pool_token_spans(
         agg("_v").alias("_pv"),
         F.count_distinct("_tok").alias("_nt"),
     )
-    return per_dim.groupBy(id_col, "chunk_index", "token_start", "token_end").agg(
+    pooled = per_dim.groupBy(id_col, "chunk_index", "token_start", "token_end").agg(
         F.max("_nt").alias("n_tokens"),
         F.transform(
             F.array_sort(F.collect_list(F.struct("_d", "_pv"))), lambda s: s["_pv"]
         ).alias("embedding"),
+    )
+    # left-join back so a chunk whose span matched NO tokens (e.g. the
+    # embedding service emitted fewer tokens than the assumed seq_len) is
+    # still present — visibly, with n_tokens=0 and a null vector — instead
+    # of silently disappearing from the output
+    keys = [id_col, "chunk_index", "token_start", "token_end"]
+    return (
+        c.join(pooled, keys, "left")
+        .select(
+            *keys,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "embedding",
+        )
     )

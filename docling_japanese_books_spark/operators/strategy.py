@@ -104,12 +104,16 @@ def default_strategy_factories(
     from .chunking import chunk_documents
     from .late_chunking import late_chunk
 
-    def _chunker(method: str):
+    def _chunker(method: str, tag: str):
+        # tag = the STRATEGY name (what chunk_with_strategy reports), which
+        # may differ from the underlying text-splitter method: 'hybrid'
+        # rides the C2 'enhanced' splitter but must be labeled 'hybrid' so
+        # the column and strategy_used never disagree
         def make():
             def run(docs: DataFrame) -> DataFrame:
                 return chunk_documents(
                     docs, method=method, max_chunk_length=max_chunk_length
-                ).withColumn("chunking_method", F.lit(method))
+                ).withColumn("chunking_method", F.lit(tag))
 
             return run
 
@@ -125,9 +129,9 @@ def default_strategy_factories(
 
     return {
         "late": _late,
-        "hybrid": _chunker("enhanced"),  # C2 is the hybrid text splitter
-        "traditional": _chunker("traditional"),
-        "words": _chunker("words"),
+        "hybrid": _chunker("enhanced", "hybrid"),  # C2 is the hybrid splitter
+        "traditional": _chunker("traditional", "traditional"),
+        "words": _chunker("words", "words"),
     }
 
 

@@ -44,12 +44,14 @@ _CW = 120  # chunk width (chars) for the arithmetic chunk spans
                      AS chunk_index
             FROM d)),
     mapped AS (
+      -- divide FIRST, then multiply: float-parity with the reference's
+      -- int((char_start / doc_length) * seq_len) truncation
       SELECT doc_id, chunk_index,
-             greatest(0, CAST(floor(char_start * {_SEQ}.0 / doc_len) AS BIGINT))
+             greatest(0, CAST(floor(char_start * 1.0 / doc_len * {_SEQ}) AS BIGINT))
                AS token_start,
              least({_SEQ}, greatest(
-               greatest(0, CAST(floor(char_start * {_SEQ}.0 / doc_len) AS BIGINT)) + 1,
-               CAST(floor(char_end * {_SEQ}.0 / doc_len) AS BIGINT)))
+               greatest(0, CAST(floor(char_start * 1.0 / doc_len * {_SEQ}) AS BIGINT)) + 1,
+               CAST(floor(char_end * 1.0 / doc_len * {_SEQ}) AS BIGINT)))
                AS token_end
       FROM ch),
     tok AS (

@@ -45,12 +45,17 @@ def configure_iceberg(builder, warehouse: str):
 def _is_catalog_identifier(identifier: str) -> bool:
     """True only for catalog.db.table-shaped names — a filesystem path like
     '/data/documents.parquet' contains '.' but must stay on the parquet
-    path, so the check requires dotted bare identifiers and no separators."""
+    path, so the check requires dotted bare identifiers, no separators, and
+    no data-file extension as the last segment (a bare relative filename
+    like 'documents.parquet' is a file, not a table)."""
     import re
 
-    return bool(
-        re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){1,2}", identifier)
-    )
+    if not re.fullmatch(
+        r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){1,2}", identifier
+    ):
+        return False
+    ext = identifier.rsplit(".", 1)[-1].lower()
+    return ext not in {"parquet", "json", "jsonl", "csv", "orc", "avro", "txt"}
 
 
 def read_table(spark: SparkSession, identifier: str) -> DataFrame:

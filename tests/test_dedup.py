@@ -116,3 +116,13 @@ def test_cluster_min_beats_greedy_on_sparse_graph(spark):
     )
     kept = {r.doc_id for r in dedup_keep_cluster_min(docs, pairs).collect()}
     assert kept == {1}
+
+
+def test_simhash_tokenizer_splits_ideographic_space():
+    from docling_japanese_books_spark.operators.dedup import _token_hashes
+
+    # U+3000 separates tokens exactly like ASCII space
+    assert len(_token_hashes("日本　語")) == 2
+    assert list(_token_hashes("日本　語")) == list(_token_hashes("日本 語"))
+    # file/group separators (\x1c-\x1f) split like str.split()
+    assert len(_token_hashes("a\x1cb")) == len("a\x1cb".split()) == 2

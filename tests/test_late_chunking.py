@@ -127,3 +127,26 @@ def test_map_spans_to_tokens_column_algebra(spark):
     for r in rows:
         ts, te = map_span_to_tokens(r.char_start, r.char_end, 100, 16)
         assert (r.token_start, r.token_end) == (ts, te)
+
+
+def test_declarative_pooling_keeps_tokenless_chunks(spark):
+    tokens = spark.createDataFrame(
+        [(1, 0, [1.0, 1.0])], "doc_id long, tok_idx long, embedding array<float>"
+    )
+    chunks = spark.createDataFrame(
+        [(1, 0, 0, 1), (1, 1, 5, 7)],  # second span beyond the token table
+        "doc_id long, chunk_index long, token_start long, token_end long",
+    )
+    out = {r.chunk_index: r for r in pool_token_spans(chunks, tokens).collect()}
+    assert out[0].n_tokens == 1
+    assert out[1].n_tokens == 0 and out[1].embedding is None  # visible, not dropped
+
+
+def test_span_mapping_column_float_parity(spark):
+    # cs=29, dl=100, seq=100: divide-first truncates to 28; multiply-first
+    # would give 29 — the column algebra must match the reference order
+    df = spark.createDataFrame(
+        [(1, 100, 29, 40)], "doc_id long, doc_len long, char_start long, char_end long"
+    )
+    r = map_spans_to_tokens(df, seq_len=F.lit(100)).collect()[0]
+    assert r.token_start == map_span_to_tokens(29, 40, 100, 100)[0] == 28

@@ -195,3 +195,12 @@ def test_write_image_files_sink(spark, tmp_path):
     assert manifest[2].n_images == 1
     assert manifest[2].image_hashes == [hashlib.sha256(b"image-bytes-a").hexdigest()]
     assert manifest[1].total_bytes == len(b"image-bytes-a") + len(b"image-bytes-b")
+
+
+def test_hybrid_tag_matches_strategy_used(spark):
+    docs = spark.createDataFrame(
+        [(1, "一つ目の文です。二つ目の文です。")], "doc_id long, text string"
+    )
+    out, used = chunk_with_strategy(docs, "jinaai/jina-embeddings-v4")
+    assert used == "hybrid"
+    assert out.select("chunking_method").distinct().collect()[0][0] == "hybrid"
