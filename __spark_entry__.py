@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top5_expensive_orders",
         "orders_priority_histogram",
         "customers_with_orders",  # left_semi also green via doc_dedup_exact
+        "doc_nonempty",  # trivial filter; F1-3/F6 ride other green queries
     )
 
     def key(kv):

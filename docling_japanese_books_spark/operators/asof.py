@@ -1,0 +1,86 @@
+"""As-of (most-recent-prior) join — the time-series join Spark lacks.
+
+For each left row, attach the LATEST right row of the same key whose
+timestamp is <= the left timestamp (optionally within a tolerance). The
+naive formulation is a range join (key equality + ts inequality), which
+Catalyst executes as a per-key cross product — quadratic per key and
+hopeless at 100 TB. The scalable shape is UNION + CARRY-FORWARD:
+
+    tag left rows side=1, right rows side=0
+    union on (key, ts, side, right payload)            -- no join at all
+    window: partitionBy(key) orderBy(ts, side) rowsBetween(-inf, current)
+    last(right payload, ignorenulls=True) over the window
+    keep side=1 rows
+
+One shuffle on the key (the window's), no range explosion, and ties at
+equal ts resolve to "right first" so a right row AT the left timestamp is
+visible (<= semantics, matching SQL ASOF JOIN). Right rows should be
+unique per (key, ts) — pre-aggregate if not, or the carried value is the
+last in (ts, side, input-order) which is nondeterministic across runs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    value_cols: Optional[List[str]] = None,
+    prefix: str = "asof_",
+    tolerance_seconds: Optional[float] = None,
+) -> DataFrame:
+    """Left as-of join: every left row, plus ``{prefix}{ts}`` and
+    ``{prefix}{col}`` for each right value column — null when no right row
+    precedes it (or none within ``tolerance_seconds``)."""
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, ts)
+    ]
+    carried = [ts] + value_cols
+
+    l = left.withColumn("_side", F.lit(1))
+    for c in carried:
+        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in carried],
+    )
+    # left columns absent on the right side become nulls via allowMissing
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in carried:
+        unioned = unioned.withColumn(
+            f"{prefix}{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    out = unioned.filter(F.col("_side") == 1).drop(
+        "_side", *[f"_r_{c}" for c in carried]
+    )
+    if tolerance_seconds is not None:
+        # materialize the predicate BEFORE nulling the columns it reads
+        out = out.withColumn(
+            "_within",
+            (
+                F.unix_timestamp(F.col(ts))
+                - F.unix_timestamp(F.col(f"{prefix}{ts}"))
+            )
+            <= tolerance_seconds,
+        )
+        for c in carried:
+            out = out.withColumn(
+                f"{prefix}{c}", F.when(F.col("_within"), F.col(f"{prefix}{c}"))
+            )
+        out = out.drop("_within")
+    return out

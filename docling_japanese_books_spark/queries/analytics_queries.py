@@ -147,3 +147,45 @@ def best_doc_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("source", "doc_id", "n_chars")
     )
+
+
+@query(
+    "events_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0),
+    r AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+           round(r.value, 6) AS asof_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every even event gets the latest
+    odd event of the same user at-or-before its timestamp. Implemented as
+    union + carry-forward window (ONE shuffle, no range explosion) and
+    verified against DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    events = t(spark, sf_dir, "events")
+    left = events.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        events.filter(F.col("event_id") % 2 == 1)
+        .groupBy("user_id", "ts")  # unique per (key, ts): deterministic carry
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(left, right, on="user_id", ts="ts", value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
+        r6(F.col("asof_value")).alias("asof_value"),
+    )
