@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_priority_histogram",
         "customers_with_orders",  # left_semi also green via doc_dedup_exact
         "doc_nonempty",  # trivial filter; F1-3/F6 ride other green queries
+        "doc_sha256",  # sha256 parity also green inside image_manifest
+        "emb_near_dup_pairs",  # 0-row check; cosine family green elsewhere
     )
 
     def key(kv):

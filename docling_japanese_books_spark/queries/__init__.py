@@ -11,4 +11,5 @@ from . import misc_queries  # noqa: F401
 from . import analytics_queries  # noqa: F401
 from . import late_queries  # noqa: F401
 from . import structure_queries  # noqa: F401
+from . import dataset_queries  # noqa: F401
 from .relational import REGISTRY  # noqa: F401

@@ -1,0 +1,80 @@
+"""Dataset assembly: hash splits, stratified sampling, sequence packing."""
+
+from __future__ import annotations
+
+from docling_japanese_books_spark.operators.sampling import (
+    hash_split,
+    pack_chunks,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    docs = spark.createDataFrame([(i,) for i in range(20_000)], "doc_id long")
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs.repartition(7)).collect()}
+    assert a == b  # partitioning-independent
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train") / n
+    val = sum(1 for s in a.values() if s == "val") / n
+    test = sum(1 for s in a.values() if s == "test") / n
+    assert abs(train - 0.98) < 0.01 and abs(val - 0.01) < 0.005
+    assert abs(test - 0.01) < 0.005
+    assert train + val + test == 1.0
+
+
+def test_hash_split_custom_weights(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10_000)], "doc_id long")
+    out = hash_split(docs, weights={"a": 0.5, "b": 0.5})
+    frac = out.filter("split = 'a'").count() / 10_000
+    assert abs(frac - 0.5) < 0.03
+
+
+def test_stratified_sample_subset_and_fractions(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(i,) for i in range(30_000)], "doc_id long")
+    docs = docs.withColumn("stratum", (F.col("doc_id") % 2).cast("string"))
+    kept = stratified_sample(docs, {"0": 0.25, "1": 1.0}, stratum_col="stratum")
+    rows = kept.collect()
+    n0 = sum(1 for r in rows if r.stratum == "0")
+    n1 = sum(1 for r in rows if r.stratum == "1")
+    assert n1 == 15_000  # fraction 1.0 keeps everything
+    assert abs(n0 / 15_000 - 0.25) < 0.02
+    # sample is a strict subset with original columns intact
+    assert {r.doc_id for r in rows} <= set(range(30_000))
+
+
+def test_pack_chunks_greedy_first_fit():
+    texts = ["a b", "c d e", "f", "g h i j k"]
+    counts = [2, 3, 1, 5]
+    seqs = pack_chunks(texts, counts, budget=5)
+    assert [(s["n_tokens"], s["n_chunks"]) for s in seqs] == [(5, 2), (1, 1), (5, 1)]
+    assert seqs[0]["text"] == "a b\n\nc d e"
+    # oversized single chunk becomes its own sequence, never split
+    solo = pack_chunks(["one two three"], [3], budget=2)
+    assert len(solo) == 1 and solo[0]["n_tokens"] == 3
+    assert pack_chunks([], [], budget=8) == []
+
+
+def test_pack_sequences_matches_core(spark):
+    rows = [
+        (1, 0, "alpha beta"),
+        (1, 1, "gamma delta epsilon"),
+        (1, 2, "zeta"),
+        (2, 0, "solo"),
+    ]
+    chunks = spark.createDataFrame(rows, "doc_id long, chunk_index long, text string")
+    out = pack_sequences(chunks, budget=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    expect = pack_chunks(
+        ["alpha beta", "gamma delta epsilon", "zeta"], [2, 3, 1], budget=4
+    )
+    got = sorted(by_doc[1], key=lambda r: r.seq_index)
+    assert [(r.n_tokens, r.n_chunks, r.text) for r in got] == [
+        (s["n_tokens"], s["n_chunks"], s["text"]) for s in expect
+    ]
+    assert by_doc[2][0].text == "solo"
