@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_nonempty",  # trivial filter; F1-3/F6 ride other green queries
         "doc_sha256",  # sha256 parity also green inside image_manifest
         "emb_near_dup_pairs",  # 0-row check; cosine family green elsewhere
+        "search_filtered",  # equality filter; F-family rides other greens
     )
 
     def key(kv):

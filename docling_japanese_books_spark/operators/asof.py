@@ -84,3 +84,53 @@ def asof_join(
             )
         out = out.drop("_within")
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: left rows matched to every right interval
+    [start, end) of the same key that contains their timestamp.
+
+    A naive key-equality + range-predicate join degenerates to a per-key
+    cross product. The scalable shape BUCKETIZES time: each right interval
+    explodes to one row per ``bucket_seconds`` bucket it overlaps, each
+    left row maps to exactly one bucket, and the join runs on
+    (key, bucket) equality with the precise containment check as a cheap
+    post-filter. Join fan-out is bounded by interval_length/bucket_seconds
+    per interval — pick the bucket near the typical interval length.
+    (This is the standard bucketed interval-join layout used by the
+    interval-join operators of stream processors.)"""
+    l_bucket = F.floor(F.unix_timestamp(F.col(left_ts)) / bucket_seconds)
+    l = left.withColumn("_bucket", l_bucket.cast("long"))
+    r_start = F.floor(F.unix_timestamp(F.col(right_start)) / bucket_seconds)
+    # end is exclusive: an interval ending exactly on a bucket boundary
+    # does not overlap that bucket
+    r_end = F.floor(
+        (F.unix_timestamp(F.col(right_end)) - 1) / bucket_seconds
+    )
+    # empty/inverted intervals produce no buckets (Spark's sequence would
+    # otherwise DESCEND for end < start and fabricate matches)
+    r = right.filter(F.col(right_end) > F.col(right_start)).withColumn(
+        "_bucket",
+        F.explode(F.sequence(r_start.cast("long"), r_end.cast("long"))),
+    )
+    lh, rh = l.alias("l"), r.alias("r")
+    return (
+        lh.join(
+            rh,
+            (F.col(f"l.{on}") == F.col(f"r.{on}"))
+            & (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col(f"l.{left_ts}") >= F.col(f"r.{right_start}"))
+            & (F.col(f"l.{left_ts}") < F.col(f"r.{right_end}")),
+        )
+        .drop(F.col("r._bucket"))
+        .drop(F.col(f"r.{on}"))
+        .drop(F.col("l._bucket"))
+    )

@@ -189,3 +189,47 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
         r6(F.col("asof_value")).alias("asof_value"),
     )
+
+
+@query(
+    "events_interval_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0),
+    r AS (
+      SELECT event_id AS interval_id, user_id, ts AS start_ts,
+             ts + INTERVAL 30 MINUTE AS end_ts
+      FROM events WHERE event_id % 2 = 1)
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           r.interval_id
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND l.ts >= r.start_ts AND l.ts < r.end_ts
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/asof.py interval_join): even
+    events matched to the 30-minute windows opened by odd events of the
+    same user. Spark runs the BUCKETIZED layout (time buckets bound the
+    fan-out; equi-join + containment post-filter); the oracle is DuckDB's
+    plain range join — same rows, different physical strategy."""
+    from ..operators.asof import interval_join
+
+    events = t(spark, sf_dir, "events")
+    left = events.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    right = events.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    out = interval_join(left, right, on="user_id", bucket_seconds=1800)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "interval_id",
+    )

@@ -65,3 +65,29 @@ def test_asof_join_keeps_left_columns_and_count(spark):
     assert len(rows) == 10  # left join: every left row survives
     assert all(r.payload == f"p{r.event_id}" for r in rows)
     assert sum(1 for r in rows if r.asof_value == 1.0) == 5  # ids 5..9
+
+
+def test_interval_join_containment_and_buckets(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01 10:15:00")),  # inside A
+            (2, 7, _ts("2024-01-01 11:00:00")),  # exactly at A's end: excluded
+            (3, 7, _ts("2024-01-01 10:00:00")),  # exactly at A's start: included
+            (4, 8, _ts("2024-01-01 10:15:00")),  # other key: no interval
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 7, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")),
+            (101, 7, _ts("2024-01-01 10:10:00"), _ts("2024-01-01 10:20:00")),
+            (102, 7, _ts("2024-01-01 12:00:00"), _ts("2024-01-01 12:00:00")),  # empty
+        ],
+        "interval_id long, user_id long, start_ts timestamp, end_ts timestamp",
+    )
+    from docling_japanese_books_spark.operators.asof import interval_join
+
+    # tiny buckets force multi-bucket interval explosion
+    out = interval_join(left, right, on="user_id", bucket_seconds=300)
+    got = {(r.event_id, r.interval_id) for r in out.collect()}
+    assert got == {(1, 100), (1, 101), (3, 100)}
