@@ -94,3 +94,20 @@ def test_minhash_lsh_banded_join_is_slim(plans):
     for line in p.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "sig" not in line, f"signature shuffled: {line.strip()[:120]}"
+
+
+def test_asof_join_is_join_free(plans):
+    # the as-of join is union + carry-forward window: ONE exchange on the
+    # key, and no join operator of any kind in the physical plan
+    p = plans("events_asof_join")
+    assert "Join" not in p, "asof join must not degenerate into a join"
+    assert "Window" in p
+
+
+def test_interval_join_is_equi_join(plans):
+    # bucketized layout: hash-join on (key, bucket), never a nested-loop
+    # range join or cartesian product
+    p = plans("events_interval_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
