@@ -55,7 +55,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(o_orderpriority, 'ALL') AS priority,
            coalesce(o_orderstatus, 'ALL')   AS status,
-           count(*) AS n, round(sum(o_totalprice), 6) AS total
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
     FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
 )
@@ -64,7 +64,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "orders")
         .rollup("o_orderpriority", "o_orderstatus")
-        .agg(F.count("*").alias("n"), r6(F.sum("o_totalprice")).alias("total"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),

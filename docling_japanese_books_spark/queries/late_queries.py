@@ -74,8 +74,8 @@ _CW = 120  # chunk width (chars) for the arithmetic chunk spans
       GROUP BY 1, 2, 3, 4, 5)
     SELECT doc_id, chunk_index, token_start, token_end,
            max(nt) AS n_tokens,
-           round(avg(pv), 6) AS pooled_mean,
-           round(max(CASE WHEN dpos = 1 THEN pv END), 6) AS pooled_first
+           round(avg(pv), 6) + 0.0 AS pooled_mean,  -- +0.0 folds -0.0 to 0.0
+           round(max(CASE WHEN dpos = 1 THEN pv END), 6) + 0.0 AS pooled_first
     FROM per_dim
     GROUP BY doc_id, chunk_index, token_start, token_end
     """,
@@ -133,13 +133,14 @@ def late_chunking_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token_start",
         "token_end",
         "n_tokens",
-        r6(
-            F.aggregate(
-                "embedding", F.lit(0.0), lambda acc, x: acc + x
+        (
+            r6(
+                F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("embedding")
             )
-            / F.size("embedding")
+            + F.lit(0.0)  # folds IEEE -0.0 to 0.0, mirroring the oracle
         ).alias("pooled_mean"),
-        r6(F.element_at("embedding", 1)).alias("pooled_first"),
+        (r6(F.element_at("embedding", 1)) + F.lit(0.0)).alias("pooled_first"),
     )
 
 

@@ -59,9 +59,12 @@ def r6(col):
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 6)                                        AS sum_qty,
-           round(sum(l_extendedprice), 6)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+           -- money sums reach 1e9+ at sf0.1: 6-decimal rounding sits below
+           -- double precision there and exposes last-ulp engine diffs, so
+           -- the big sums compare at cent precision
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
            round(avg(l_quantity), 6)                                        AS avg_qty,
            round(avg(l_extendedprice), 6)                                   AS avg_price,
            round(avg(l_discount), 6)                                        AS avg_disc,
@@ -84,9 +87,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         r6(F.sum("l_quantity")).alias("sum_qty"),
-        r6(F.sum("l_extendedprice")).alias("sum_base_price"),
-        r6(F.sum(disc_price)).alias("sum_disc_price"),
-        r6(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
         r6(F.avg("l_quantity")).alias("avg_qty"),
         r6(F.avg("l_extendedprice")).alias("avg_price"),
         r6(F.avg("l_discount")).alias("avg_disc"),
