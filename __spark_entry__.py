@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sha256",  # sha256 parity also green inside image_manifest
         "emb_near_dup_pairs",  # 0-row check; cosine family green elsewhere
         "search_filtered",  # equality filter; F-family rides other greens
+        "best_event_type_per_user",  # argmax shape green via best_doc_per_source
     )
 
     def key(kv):

@@ -73,3 +73,71 @@ def chunk_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunks",
         F.sha2("text", 256).alias("text_sha"),
     )
+
+
+@query(
+    "emb_quantize_int8",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             greatest(list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0,
+                      1e-12) AS scale,
+             embedding
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER)) AS qv,
+             embedding
+      FROM base)
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           list_aggregate(qv, 'sum') AS q_sum,
+           list_aggregate(list_transform(qv, x -> CAST(abs(x) AS BIGINT)),
+                          'max') AS q_absmax,
+           round(
+             list_aggregate(
+               list_transform(range(1, len(embedding) + 1),
+                 i -> pow(CAST(embedding[i] AS DOUBLE)
+                          - qv[i] * scale, 2)),
+               'sum') / len(embedding), 6) AS mse
+    FROM q
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real int8 symmetric quantization (A14 beyond the reference's
+    analytical tables, quantization_analysis.py:110-247): per-vector scale,
+    quantized-array digest, and measured reconstruction MSE — the oracle
+    reproduces the arithmetic element-for-element."""
+    from ..operators.quantize import (
+        dequantize_int8,
+        int8_scale,
+        quantize_int8,
+        reconstruction_mse,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    scale = int8_scale(F.col("embedding"))
+    out = emb.select("vec_id", scale.alias("_scale"), "embedding").select(
+        "vec_id",
+        "_scale",
+        quantize_int8(F.col("embedding"), F.col("_scale")).alias("_q"),
+        "embedding",
+    )
+    return out.select(
+        "vec_id",
+        F.round("_scale", 6).alias("scale"),
+        F.aggregate("_q", F.lit(0), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            F.transform("_q", lambda x: F.abs(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("q_absmax"),
+        F.round(
+            reconstruction_mse(
+                F.col("embedding"), dequantize_int8(F.col("_q"), F.col("_scale"))
+            ),
+            6,
+        ).alias("mse"),
+    )

@@ -78,3 +78,45 @@ def test_pack_sequences_matches_core(spark):
         (s["n_tokens"], s["n_chunks"], s["text"]) for s in expect
     ]
     assert by_doc[2][0].text == "solo"
+
+
+def test_int8_quantization_roundtrip(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.operators.quantize import (
+        dequantize_int8,
+        int8_scale,
+        quantize_binary,
+        quantize_int8,
+        reconstruction_mse,
+    )
+
+    vecs = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # all-zero: no NaNs
+        (3, [127.0, -127.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    scale = int8_scale(F.col("embedding"))
+    out = df.select(
+        "vec_id",
+        scale.alias("s"),
+        quantize_int8(F.col("embedding"), scale).alias("q"),
+        reconstruction_mse(
+            F.col("embedding"), dequantize_int8(quantize_int8(F.col("embedding"), scale), scale)
+        ).alias("mse"),
+        quantize_binary(F.col("embedding")).alias("b"),
+    )
+    rows = {r.vec_id: r for r in out.collect()}
+    # numpy reference for vec 1
+    v = np.array(vecs[0][1])
+    s = np.abs(v).max() / 127.0
+    q = np.round(v / s).astype(int)
+    assert list(rows[1].q) == q.tolist()
+    assert abs(rows[1].mse - ((v - q * s) ** 2).mean()) < 1e-9
+    assert max(abs(x) for x in rows[1].q) <= 127
+    # all-zero vector: quantizes to zeros with zero error
+    assert list(rows[2].q) == [0, 0, 0, 0] and rows[2].mse == 0.0
+    # sign quantization
+    assert list(rows[1].b) == [1, 0, 1, 0]
