@@ -176,7 +176,14 @@ def run_visit(cores: int, pages_path: str) -> dict:
         for p in procs:
             rest = p.stdout.read()
             p.wait()
-            results.append(json.loads(rest.strip().splitlines()[-1]))
+            lines = rest.strip().splitlines()
+            if p.returncode != 0 or not lines:
+                # a dead instance (OOM, kill) must fail THIS visit loudly,
+                # not crash the whole bench without its JSON result line
+                raise RuntimeError(
+                    f"scaling child (cores={cores}) exited rc={p.returncode}"
+                )
+            results.append(json.loads(lines[-1]))
     finally:
         if sync_file:
             shutil.rmtree(Path(sync_file).parent, ignore_errors=True)
@@ -244,10 +251,17 @@ def main() -> None:
         # interleaved pinned scaling visits: N, 4N, N, 4N
         samples = {N_SMALL: [], N_BIG: []}
         n_docs = 0
+        def visit_with_retry(cores: int) -> dict:
+            try:
+                return run_visit(cores, pages_path)
+            except Exception as ex:  # one retry: a lost visit, not a lost bench
+                log(f"visit at {cores} cores failed ({ex}); retrying once")
+                return run_visit(cores, pages_path)
+
         for which in VISIT_ORDER:
             cores = N_SMALL if which == "small" else N_BIG
             log(f"scaling visit: {cores} pinned cores")
-            r = run_visit(cores, pages_path)
+            r = visit_with_retry(cores)
             samples[cores].extend(r["times"])
             n_docs = r["n_docs"]
 
@@ -265,7 +279,7 @@ def main() -> None:
             log(f"efficiency {current_eff():.3f} inconclusive; extra visit pair {extra}")
             for which in ("small", "big"):
                 cores = N_SMALL if which == "small" else N_BIG
-                r = run_visit(cores, pages_path)
+                r = visit_with_retry(cores)
                 samples[cores].extend(r["times"])
 
         t_small = min(samples[N_SMALL])
