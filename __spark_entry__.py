@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_pairs",  # 0-row check; cosine family green elsewhere
         "search_filtered",  # equality filter; F-family rides other greens
         "best_event_type_per_user",  # argmax shape green via best_doc_per_source
+        "event_type_wins",  # win-count agg; A-family green via events_type_stats
+        "doc_preview",  # substring/head-n; T4 slice green inside image_manifest
     )
 
     def key(kv):

@@ -79,3 +79,61 @@ def quality_score(col: Column) -> Column:
         0.3 * length_score + 0.2 * punct_score + 0.2 * upper_score + 0.3 * stop_score,
         6,
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + repetition quality rules (training-corpus hygiene)
+# ---------------------------------------------------------------------------
+
+# deliberately simple patterns that mean the same thing in Java regex and
+# RE2, keeping the ops oracle-checkable; a production pass would add
+# locale-specific variants
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / phone-ish numbers / IPv4s with typed placeholders —
+    the standard pre-training scrub, JVM-side regexp_replace chain."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-kind PII match counts (for filtering thresholds)."""
+    return F.struct(
+        F.regexp_count(col, F.lit(EMAIL_RE)).alias("emails"),
+        F.regexp_count(col, F.lit(PHONE_RE)).alias("phones"),
+        F.regexp_count(col, F.lit(IPV4_RE)).alias("ips"),
+    )
+
+
+def duplicate_line_fraction(col: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line — the
+    repetition signal boilerplate-heavy pages trip (Gopher-style rule),
+    as pure array algebra: 1 - distinct_lines / lines."""
+    lines = F.filter(F.split(col, "\n"), lambda l: F.trim(l) != "")
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+
+def top_word_fraction(col: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token (another
+    Gopher-style repetition rule). aggregate over the distinct tokens,
+    counting each one's occurrences — O(distinct x tokens) interpreted,
+    fine as a projection; hot paths swap in a pandas UDF."""
+    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    return F.when(n > 0, top.cast("double") / n).otherwise(F.lit(0.0))

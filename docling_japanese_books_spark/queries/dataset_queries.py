@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sampling import hash_split, pack_sequences, stratified_sample
-from .relational import query, t
+from .relational import query, r6, t
 
 _B = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000"
 
@@ -140,4 +140,107 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("mse"),
+    )
+
+
+@query(
+    "doc_pii_redaction",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com at 192.168.0.' || CAST(doc_id % 255 AS VARCHAR)
+                  || ' tel +1 (555) 123-4567.' AS text
+      FROM documents),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+               '\+?[0-9][0-9()\-\. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+             len(regexp_extract_all(text,
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ips
+      FROM aug)
+    SELECT doc_id, sha256(redacted) AS redacted_sha, emails, ips FROM red
+    """,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (pre-training hygiene): emails -> <EMAIL>, IPv4 -> <IP>,
+    phone-ish runs -> <PHONE>, in that order (IPs would otherwise match the
+    phone pattern). PII is synthesized into every row inside the plan so
+    the redaction is exercised on each document; the oracle replays the
+    same regexp_replace chain."""
+    from ..operators.textstats import pii_counts, redact_pii
+
+    docs = t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 192.168.0."),
+            (F.col("doc_id") % 255).cast("string"),
+            F.lit(" tel +1 (555) 123-4567."),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.sha2(redact_pii(F.col("text")), 256).alias("redacted_sha"),
+        pii_counts(F.col("text")).getField("emails").alias("emails"),
+        pii_counts(F.col("text")).getField("ips").alias("ips"),
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || chr(10) || 'line one' || chr(10) || 'line one'
+                  || chr(10) || 'line two' AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls,
+             text
+      FROM aug),
+    toks AS (
+      SELECT doc_id, ls,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS ts
+      FROM lines)
+    SELECT doc_id,
+           round(CASE WHEN len(ls) > 0
+                 THEN 1.0 - len(list_distinct(ls)) * 1.0 / len(ls)
+                 ELSE 0.0 END, 6) AS dup_line_frac,
+           round(CASE WHEN len(ts) > 0
+                 THEN list_max(list_transform(list_distinct(ts),
+                        w -> len(list_filter(ts, t -> t = w)))) * 1.0 / len(ts)
+                 ELSE 0.0 END, 6) AS top_word_frac
+    FROM toks
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rules (training-corpus quality): duplicate-
+    line fraction and most-frequent-token fraction, as pure array algebra.
+    Duplicate lines are synthesized into every row so the rule is exercised
+    on each document; the oracle replays the list arithmetic."""
+    from ..operators.textstats import duplicate_line_fraction, top_word_fraction
+
+    docs = t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nline one\nline one\nline two")
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        r6(duplicate_line_fraction(F.col("text"))).alias("dup_line_frac"),
+        r6(top_word_fraction(F.col("text"))).alias("top_word_frac"),
     )

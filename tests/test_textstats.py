@@ -91,3 +91,56 @@ def test_normalize_cjk_pure():
     assert normalize_cjk("a　b") == "a b"  # ideographic space folded
     assert normalize_cjk("a\r\nb\rc") == "a\nb\nc"
     assert normalize_cjk(None) is None
+
+
+def test_pii_redaction_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.operators.textstats import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+x@sub.example.co.uk and 10.0.0.1 call +44 (0)20 7946 0958 ok"),
+            (2, "no pii here at all"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", redact_pii(F.col("text")).alias("red"),
+        pii_counts(F.col("text")).alias("c")).collect()}
+    assert "<EMAIL>" in out[1].red and "<IP>" in out[1].red and "<PHONE>" in out[1].red
+    assert "a.user" not in out[1].red and "10.0.0.1" not in out[1].red
+    assert out[1].c.emails == 1 and out[1].c.ips == 1 and out[1].c.phones >= 1
+    assert out[2].red == "no pii here at all"
+    assert out[3].red == ""
+
+
+def test_repetition_rules(spark):
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.operators.textstats import (
+        duplicate_line_fraction,
+        top_word_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\na\nb"),          # 3 lines, 2 distinct -> 1/3 dup
+            (2, "x y x x"),           # 'x' is 3 of 4 tokens
+            (3, ""),
+            (4, "\n\n  \n"),          # only blank lines
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in df.select(
+        "doc_id",
+        duplicate_line_fraction(F.col("text")).alias("dl"),
+        top_word_fraction(F.col("text")).alias("tw")).collect()}
+    assert abs(out[1].dl - 1 / 3) < 1e-9
+    assert abs(out[2].tw - 0.75) < 1e-9
+    assert out[3].dl == 0.0 and out[3].tw == 0.0
+    assert out[4].dl == 0.0
