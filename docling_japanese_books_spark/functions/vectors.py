@@ -15,6 +15,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def array_sum(a: Column) -> Column:
+    """Sum of an array column's elements, in double (the digest queries'
+    standard hashable projection of a vector)."""
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-order dot product of two array columns, in double."""
     return F.aggregate(

@@ -45,15 +45,14 @@ def asof_join(
     carried = [ts] + value_cols
 
     l = left.withColumn("_side", F.lit(1))
-    for c in carried:
-        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
     r = right.select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("_side"),
         *[F.col(c).alias(f"_r_{c}") for c in carried],
     )
-    # left columns absent on the right side become nulls via allowMissing
+    # allowMissingColumns null-fills each side's absent columns: left rows
+    # get null _r_* (typed from the right side), right rows null payloads
     unioned = l.unionByName(r, allowMissingColumns=True)
 
     w = (

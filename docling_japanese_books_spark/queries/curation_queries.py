@@ -51,29 +51,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, max_hamming=3)
 
 
-@query(
-    "dedup_ngram_jaccard",
-    """
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
-                 THEN len(list_intersect(a.g, b.g)) * 1.0
-                      / len(list_distinct(list_concat(a.g, b.g)))
-                 ELSE 0.0 END, 6) AS jaccard3
-    FROM (SELECT doc_id, CASE WHEN length(text) >= 3
-                 THEN list_distinct(list_transform(range(1, length(text) - 1),
-                      i -> substr(text, CAST(i AS INT), 3))) ELSE [] END AS g
-          FROM documents) a
-    JOIN (SELECT doc_id, CASE WHEN length(text) >= 3
-                 THEN list_distinct(list_transform(range(1, length(text) - 1),
-                      i -> substr(text, CAST(i AS INT), 3))) ELSE [] END AS g
-          FROM documents) b
-      ON a.doc_id + 1 = b.doc_id
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-3-gram Jaccard between consecutive doc pairs — pure column
-    algebra (sequence/substr/array_intersect), oracle-checked against
-    DuckDB's list functions."""
+_NG3 = """
+    SELECT doc_id, CASE WHEN length(text) >= 3
+           THEN list_distinct(list_transform(range(1, length(text) - 1),
+                i -> substr(text, CAST(i AS INT), 3))) ELSE [] END AS g
+    FROM documents
+"""
+
+
+def _consecutive_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, j): exact char-3-gram Jaccard of consecutive doc pairs —
+    shared by the jaccard query and the cluster-collapse query."""
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", char_ngrams(F.col("text"), 3).alias("g")
     )
@@ -81,7 +69,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id")).select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),
-        r6(jaccard(F.col("a.g"), F.col("b.g"))).alias("jaccard3"),
+        jaccard(F.col("a.g"), F.col("b.g")).alias("j"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+                 THEN len(list_intersect(a.g, b.g)) * 1.0
+                      / len(list_distinct(list_concat(a.g, b.g)))
+                 ELSE 0.0 END, 6) AS jaccard3
+    FROM ({_NG3}) a JOIN ({_NG3}) b ON a.doc_id + 1 = b.doc_id
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard between consecutive doc pairs — pure column
+    algebra (sequence/substr/array_intersect), oracle-checked against
+    DuckDB's list functions."""
+    return _consecutive_jaccard_pairs(spark, sf_dir).select(
+        "id_a", "id_b", r6(F.col("j")).alias("jaccard3")
     )
 
 
@@ -336,14 +344,6 @@ def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NG3 = """
-    SELECT doc_id, CASE WHEN length(text) >= 3
-           THEN list_distinct(list_transform(range(1, length(text) - 1),
-                i -> substr(text, CAST(i AS INT), 3))) ELSE [] END AS g
-    FROM documents
-"""
-
-
 @query(
     "dedup_clusters",
     f"""
@@ -376,17 +376,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC operator and must converge to the same labels."""
     from ..operators.dedup import connected_components
 
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", char_ngrams(F.col("text"), 3).alias("g")
-    )
-    a, b = docs.alias("a"), docs.alias("b")
     pairs = (
-        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            jaccard(F.col("a.g"), F.col("b.g")).alias("j"),
-        )
+        _consecutive_jaccard_pairs(spark, sf_dir)
         .filter(F.col("j") >= 0.5)
         .select("id_a", "id_b")
     )

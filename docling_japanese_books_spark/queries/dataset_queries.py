@@ -188,11 +188,12 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" tel +1 (555) 123-4567."),
         ).alias("text"),
     )
+    counts = pii_counts(F.col("text"))
     return aug.select(
         "doc_id",
         F.sha2(redact_pii(F.col("text")), 256).alias("redacted_sha"),
-        pii_counts(F.col("text")).getField("emails").alias("emails"),
-        pii_counts(F.col("text")).getField("ips").alias("ips"),
+        counts.getField("emails").alias("emails"),
+        counts.getField("ips").alias("ips"),
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import array_sum, cosine
 from ..operators.chunking import chunk_documents
 from ..operators.embedding import embed_udf
 from ..operators.late_chunking import (
@@ -134,10 +134,7 @@ def late_chunking_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token_end",
         "n_tokens",
         (
-            r6(
-                F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x)
-                / F.size("embedding")
-            )
+            r6(array_sum(F.col("embedding")) / F.size("embedding"))
             + F.lit(0.0)  # folds IEEE -0.0 to 0.0, mirroring the oracle
         ).alias("pooled_mean"),
         (r6(F.element_at("embedding", 1)) + F.lit(0.0)).alias("pooled_first"),
@@ -163,7 +160,7 @@ def late_chunking_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "char_end",
         "token_start",
         "token_end",
-        r6(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x)).alias("emb_sum"),
+        r6(array_sum(F.col("embedding"))).alias("emb_sum"),
         "chunking_method",
     )
 
@@ -235,5 +232,5 @@ def chunk_by_model_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunking_method",
         "token_start",
         "token_end",
-        r6(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x)).alias("emb_sum"),
+        r6(array_sum(F.col("embedding"))).alias("emb_sum"),
     )
