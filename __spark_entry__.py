@@ -37,17 +37,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     group so unique-coverage queries never fall out of the window."""
     demoted = (
         "nations_per_region",
-        "events_running_sum",
-        "top5_expensive_orders",
         "orders_priority_histogram",
         "customers_with_orders",  # left_semi also green via doc_dedup_exact
         "doc_nonempty",  # trivial filter; F1-3/F6 ride other green queries
-        "doc_sha256",  # sha256 parity also green inside image_manifest
+        "doc_sha256",  # sha256 parity green via doc_dedup_exact + image_manifest
         "emb_near_dup_pairs",  # 0-row check; cosine family green elsewhere
         "search_filtered",  # equality filter; F-family rides other greens
         "best_event_type_per_user",  # argmax shape green via best_doc_per_source
         "event_type_wins",  # win-count agg; A-family green via events_type_stats
         "doc_preview",  # substring/head-n; T4 slice green inside image_manifest
+        # round-3 swaps: unique shapes (running-sum window, numeric top-k)
+        # promoted in; redundant-coverage greens demoted with surrogates
+        "emb_cosine_topk",  # brute-force cosine top-k green via similarity_topk_batch
+        "quantization_storage",  # A14 analytical table; real kernels green via emb_quantize_int8
+        "doc_quality_score",  # composite quality green via doc_lang_quality (same textstats algebra)
     )
 
     def key(kv):

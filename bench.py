@@ -52,10 +52,14 @@ N_SMALL = max(1, CPUS // 16)
 N_BIG = N_SMALL * 4
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
 REPS_PER_VISIT = 2
-# asymmetric visit schedule: the small config measures stably (JVM noise is
-# a small fraction of its long runs); the fast config is the noise-sensitive
-# one and gets twice the samples. Alternation keeps drift unbiased.
-VISIT_ORDER = ("small", "big", "big", "small", "big")
+# FIXED pre-declared visit schedule — never extended at runtime. (The
+# round-2 harness bought extra pairs only while efficiency < 0.8, an
+# optional-stopping rule that biases the reported number upward; the
+# schedule below bakes those extras in unconditionally instead.)
+# Asymmetric: the small config measures stably (JVM noise is a small
+# fraction of its long runs); the fast config is the noise-sensitive one
+# and gets more samples. Alternation keeps host-load drift unbiased.
+VISIT_ORDER = ("small", "big", "big", "small", "big", "small", "big")
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -212,11 +216,20 @@ def run_headline(spark) -> dict:
 
     times = {}
     for name in HEADLINE:
-        reps = []
-        for _ in range(2):  # min-of-2: one host-noise burst can't inflate a query
+        def one_rep() -> float:
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            reps.append(time.time() - t0)
+            return time.time() - t0
+
+        reps = [one_rep(), one_rep()]
+        # noise-triggered escalation: two samples disagreeing >2x means a
+        # host-noise burst ate at least one — buy up to 3 more reps so the
+        # min recovers the true time (noise only ever SLOWS a rep). The
+        # trigger is sample disagreement, never the metric's value, so it
+        # doesn't optional-stop toward a pass threshold.
+        while max(reps) / min(reps) > 2.0 and len(reps) < 5:
+            log(f"  {name}: reps disagree >2x ({[round(r, 2) for r in reps]}); extra rep")
+            reps.append(one_rep())
         times[name] = round(min(reps), 3)
         log(f"  {name}: {times[name]}s")
     return times
@@ -265,28 +278,11 @@ def main() -> None:
             samples[cores].extend(r["times"])
             n_docs = r["n_docs"]
 
-        def current_eff():
-            return (n_docs / min(samples[N_BIG])) / (
-                4.0 * (n_docs / min(samples[N_SMALL]))
-            )
-
-        # adaptive sampling: host-noise bursts only ever SLOW runs, so the
-        # min estimator improves monotonically with more data — when the
-        # measurement is inconclusive, buy up to 3 more visit pairs
-        extra = 0
-        while current_eff() < 0.8 and extra < 3:
-            extra += 1
-            log(f"efficiency {current_eff():.3f} inconclusive; extra visit pair {extra}")
-            for which in ("small", "big"):
-                cores = N_SMALL if which == "small" else N_BIG
-                r = visit_with_retry(cores)
-                samples[cores].extend(r["times"])
-
         t_small = min(samples[N_SMALL])
         t_big = min(samples[N_BIG])
         dps_small = n_docs / t_small
         dps_big = n_docs / t_big
-        eff = current_eff()
+        eff = dps_big / (4.0 * dps_small)
 
         result = {
             "metric": "headline_queries_total_wall",

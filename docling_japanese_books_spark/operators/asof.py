@@ -23,8 +23,16 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_micros(col: Column) -> Column:
+    """Exact integer microseconds since epoch; the TIMESTAMP cast makes it
+    work for TIMESTAMP_NTZ inputs too (session TZ applies). unix_timestamp
+    would silently truncate fractional seconds — sub-second tolerances and
+    sub-second intervals need microsecond arithmetic."""
+    return F.unix_micros(col.cast("timestamp"))
 
 
 def asof_join(
@@ -71,11 +79,8 @@ def asof_join(
         # materialize the predicate BEFORE nulling the columns it reads
         out = out.withColumn(
             "_within",
-            (
-                F.unix_timestamp(F.col(ts))
-                - F.unix_timestamp(F.col(f"{prefix}{ts}"))
-            )
-            <= tolerance_seconds,
+            (_epoch_micros(F.col(ts)) - _epoch_micros(F.col(f"{prefix}{ts}")))
+            <= int(round(tolerance_seconds * 1_000_000)),
         )
         for c in carried:
             out = out.withColumn(
@@ -106,19 +111,25 @@ def interval_join(
     per interval — pick the bucket near the typical interval length.
     (This is the standard bucketed interval-join layout used by the
     interval-join operators of stream processors.)"""
-    l_bucket = F.floor(F.unix_timestamp(F.col(left_ts)) / bucket_seconds)
+    bucket_us = bucket_seconds * 1_000_000
+    l_bucket = F.floor(_epoch_micros(F.col(left_ts)) / bucket_us)
     l = left.withColumn("_bucket", l_bucket.cast("long"))
-    r_start = F.floor(F.unix_timestamp(F.col(right_start)) / bucket_seconds)
-    # end is exclusive: an interval ending exactly on a bucket boundary
-    # does not overlap that bucket
-    r_end = F.floor(
-        (F.unix_timestamp(F.col(right_end)) - 1) / bucket_seconds
-    )
+    r_start = F.floor(_epoch_micros(F.col(right_start)) / bucket_us)
+    # end is exclusive: the last contained instant is end - 1 microsecond,
+    # so an interval ending exactly on a bucket boundary skips that bucket
+    r_end = F.floor((_epoch_micros(F.col(right_end)) - 1) / bucket_us)
     # empty/inverted intervals produce no buckets (Spark's sequence would
-    # otherwise DESCEND for end < start and fabricate matches)
+    # otherwise DESCEND for end < start and fabricate matches); for valid
+    # sub-bucket intervals r_end can still floor below r_start — clamp so
+    # the sequence never descends
     r = right.filter(F.col(right_end) > F.col(right_start)).withColumn(
         "_bucket",
-        F.explode(F.sequence(r_start.cast("long"), r_end.cast("long"))),
+        F.explode(
+            F.sequence(
+                r_start.cast("long"),
+                F.greatest(r_start, r_end).cast("long"),
+            )
+        ),
     )
     lh, rh = l.alias("l"), r.alias("r")
     return (

@@ -20,6 +20,7 @@ web-scale dedup toolbox rebuilt Spark-first:
 
 from __future__ import annotations
 
+import warnings
 from typing import Tuple
 
 import numpy as np
@@ -195,6 +196,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 4,
     seed: int = 42,
     threshold: float = 0.5,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via banded LSH.
 
@@ -207,6 +209,15 @@ def minhash_lsh_candidates(
     per doc) -> shuffle on (band, band_hash) -> within-bucket self-join ->
     distinct pairs -> signature-overlap filter. Output:
     (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    ``checkpoint=True`` materializes the signature frame with
+    ``localCheckpoint`` instead of ``persist``: at 100 TB the signatures
+    don't fit in executor storage memory, and a cache miss would recompute
+    the signature UDF over the full corpus for BOTH consumers (band explode
+    and pair verify). Checkpointing truncates lineage so the UDF provably
+    runs once; on a real cluster swap in ``df.checkpoint()`` with a
+    reliable checkpoint dir, or write the signatures to a table. Default
+    off: locally the cache always fits and persist is cheaper.
     """
     rows_per_band = m // bands
     sigs = df.select(
@@ -214,8 +225,8 @@ def minhash_lsh_candidates(
         minhash_signature_udf(m, shingle_n, seed)(F.col(text_col)).alias("sig"),
     )
     # the signature frame feeds the band explode AND the pair verify step:
-    # persist so the UDF runs once per document
-    sigs = sigs.persist()
+    # materialize so the UDF runs once per document
+    sigs = sigs.localCheckpoint(eager=True) if checkpoint else sigs.persist()
     # the banded self-join carries BARE (id, band, bhash) keys only — at
     # bands=8 the exploded frame is 8 rows/doc, and shipping the m-long
     # signature on both sides would push ~16x the signature bytes through
@@ -502,6 +513,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iters without the changed==0 early exit: labels may
+        # still be split across a deep component — surface it, don't return
+        # silently-wrong clusters (pointer jumping makes this need a
+        # component of diameter > ~2^max_iters, so hitting it means the
+        # caller's max_iters is badly undersized for the graph)
+        warnings.warn(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters}; labels may split deep components — raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

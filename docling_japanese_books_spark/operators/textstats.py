@@ -103,10 +103,16 @@ def redact_pii(col: Column) -> Column:
 
 
 def pii_counts(col: Column) -> Column:
-    """Struct of per-kind PII match counts (for filtering thresholds)."""
+    """Struct of per-kind PII match counts (for filtering thresholds).
+
+    Phones are counted AFTER emails and IPs are replaced, mirroring
+    redact_pii's pass order — otherwise a 9+-char IPv4 (192.168.0.17)
+    also matches PHONE_RE and inflates the phone count."""
+    no_email = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, IPV4_RE, "<IP>")
     return F.struct(
         F.regexp_count(col, F.lit(EMAIL_RE)).alias("emails"),
-        F.regexp_count(col, F.lit(PHONE_RE)).alias("phones"),
+        F.regexp_count(no_ip, F.lit(PHONE_RE)).alias("phones"),
         F.regexp_count(col, F.lit(IPV4_RE)).alias("ips"),
     )
 

@@ -30,7 +30,7 @@ from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -117,6 +117,21 @@ def run_extraction_pipeline(
     for wave in waves:
         t0 = time.time()
         sub = pages_b.filter(F.col("bucket").isin([int(b) for b in wave]))
+        # rows_in counts the bucket's INPUT rows (pre-extraction) so the
+        # kept/dropped accounting stays real even if a filter is ever added
+        # above. Observation metrics piggyback on the write action — the
+        # wave makes ONE pass over the input, not a second column-pruned
+        # scan per wave (which at 100 TB is an extra url-column pass).
+        obs = Observation(f"wave_{wave[0]}")
+        sub = sub.observe(
+            obs,
+            *[
+                F.sum(F.when(F.col("bucket") == int(b), 1).otherwise(0))
+                .cast("long")
+                .alias(f"b_{int(b)}")
+                for b in wave
+            ],
+        )
         extracted = (
             extract_pages(sub)
             .select(
@@ -137,13 +152,9 @@ def run_extraction_pipeline(
         )
         wall_ms = int((time.time() - t0) * 1000)
 
-        # rows_in counts the bucket's INPUT rows (pre-extraction) so the
-        # kept/dropped accounting is real; the count scans only the url
-        # column (bucket is derived from it), so it's column-pruned cheap
-        rows_in = {
-            r.bucket: r.n
-            for r in sub.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-        }
+        # the write action above populated the observation
+        obs_metrics = obs.get
+        rows_in = {int(b): int(obs_metrics[f"b_{int(b)}"]) for b in wave}
 
         # metrics from the committed data (read-back = what downstream sees)
         committed = spark.read.parquet(_data_path(output_dir)).filter(

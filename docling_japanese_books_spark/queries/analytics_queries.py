@@ -16,9 +16,10 @@ from .relational import query, r6, t
            round(sum(value), 6) AS session_value
     FROM (
       SELECT user_id, value,
-             sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
       FROM (
         SELECT user_id, ts, event_id, value,
                date_diff('second',

@@ -258,7 +258,8 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "image_manifest",
     """
-    SELECT doc_id, count(*) AS n_images, sum(n_bytes) AS total_bytes,
+    SELECT doc_id, count(*) AS n_images,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            array_to_string((array_agg(sha ORDER BY sha))[1:5], ',') AS image_hashes
     FROM (
       SELECT doc_id, sha256(text) AS sha, length(text) AS n_bytes FROM documents

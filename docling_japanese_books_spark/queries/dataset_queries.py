@@ -93,7 +93,7 @@ def chunk_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base)
     SELECT vec_id,
            round(scale, 6) AS scale,
-           list_aggregate(qv, 'sum') AS q_sum,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
            list_aggregate(list_transform(qv, x -> CAST(abs(x) AS BIGINT)),
                           'max') AS q_absmax,
            round(
@@ -162,10 +162,17 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                '\+?[0-9][0-9()\-\. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
              len(regexp_extract_all(text,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+             len(regexp_extract_all(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                 '\+?[0-9][0-9()\-\. ]{7,}[0-9]')) AS phones,
              len(regexp_extract_all(text,
                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ips
       FROM aug)
-    SELECT doc_id, sha256(redacted) AS redacted_sha, emails, ips FROM red
+    SELECT doc_id, sha256(redacted) AS redacted_sha, emails, phones, ips FROM red
     """,
 )
 def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,6 +200,7 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.sha2(redact_pii(F.col("text")), 256).alias("redacted_sha"),
         counts.getField("emails").alias("emails"),
+        counts.getField("phones").alias("phones"),
         counts.getField("ips").alias("ips"),
     )
 

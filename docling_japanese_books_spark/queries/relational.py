@@ -116,9 +116,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: 3-way join + agg + top-k.
 
-    Scale: customer(filtered) is the small side — broadcast both ways into
-    the lineitem scan so the only shuffle is the final groupBy(l_orderkey);
-    top-10 executes as TakeOrderedAndProject (no global sort).
+    Scale: only customer(filtered) is genuinely small — broadcast it into
+    the orders scan. Filtered orders is ~half the orders table, so forcing
+    it into a broadcast would OOM at 100×; leave the orders⋈lineitem
+    strategy to AQE (shuffle join on o_orderkey, skew-split if needed).
+    The remaining shuffles are that join key and the final
+    groupBy(l_orderkey); top-10 executes as TakeOrderedAndProject.
     """
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(
@@ -129,7 +132,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")

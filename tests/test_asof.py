@@ -91,3 +91,45 @@ def test_interval_join_containment_and_buckets(spark):
     out = interval_join(left, right, on="user_id", bucket_seconds=300)
     got = {(r.event_id, r.interval_id) for r in out.collect()}
     assert got == {(1, 100), (1, 101), (3, 100)}
+
+
+def test_interval_join_subsecond_intervals(spark):
+    """Sub-second intervals: valid (end > start) intervals shorter than a
+    second must still match — second-truncating arithmetic would compute a
+    descending bucket sequence and fabricate-then-drop everything."""
+    from docling_japanese_books_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01 10:00:00.600")),  # inside [.5, .9)
+            (2, 7, _ts("2024-01-01 10:00:00.900")),  # at exclusive end
+            (3, 7, _ts("2024-01-01 10:00:00.500")),  # at inclusive start
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(200, 7, _ts("2024-01-01 10:00:00.500"), _ts("2024-01-01 10:00:00.900"))],
+        "interval_id long, user_id long, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r.event_id, r.interval_id)
+        for r in interval_join(left, right, on="user_id", bucket_seconds=3600).collect()
+    }
+    assert got == {(1, 200), (3, 200)}
+
+
+def test_asof_join_subsecond_tolerance(spark):
+    """Fractional-second tolerances must not be silently truncated: a right
+    row 0.4 s earlier is within 0.5 s but outside 0.3 s."""
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01 10:00:00.900"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, _ts("2024-01-01 10:00:00.500"), 5.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    ok = asof_join(left, right, on="user_id", tolerance_seconds=0.5).collect()[0]
+    assert ok.asof_value == 5.0
+    stale = asof_join(left, right, on="user_id", tolerance_seconds=0.3).collect()[0]
+    assert stale.asof_value is None

@@ -49,6 +49,23 @@ def test_minhash_finds_near_dups_not_random(spark, docs):
     assert (0, 3) not in found and (3, 4) not in found
 
 
+def test_minhash_checkpoint_mode_same_pairs(spark, docs):
+    """checkpoint=True (the 100 TB path: localCheckpoint instead of persist)
+    must produce exactly the same pairs, and the plan downstream of the
+    checkpoint must not re-run the signature UDF (no Python eval above it)."""
+    base = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in minhash_lsh_candidates(docs, threshold=0.5).collect()
+    }
+    ck_df = minhash_lsh_candidates(docs, threshold=0.5, checkpoint=True)
+    ck = {(r.id_a, r.id_b, round(r.est_jaccard, 9)) for r in ck_df.collect()}
+    assert ck == base
+    # lineage is truncated at the checkpoint: the signature UDF appears in
+    # no downstream stage
+    plan = ck_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_minhash_estimate_tracks_true_jaccard(spark, docs):
     # true char-4-gram jaccard of BASE vs BASE+' extra'
     a = {BASE[i : i + 4] for i in range(len(BASE) - 3)}
@@ -103,6 +120,33 @@ def test_connected_components_chain_and_star(spark):
     kept = {r.doc_id for r in dedup_keep_cluster_min(docs, pairs).collect()}
     # one survivor per cluster + untouched isolated doc
     assert kept == {1, 10, 20, 99}
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    import warnings
+
+    from docling_japanese_books_spark.operators.dedup import connected_components
+
+    # a 12-node chain needs >1 round even with pointer jumping
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iters=1).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "converge" in str(w.message)
+        for w in caught
+    )
+    # ample iterations: converges, no warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = {
+            r.node: r.cluster_id
+            for r in connected_components(pairs, max_iters=20).collect()
+        }
+    assert not [w for w in caught if "converge" in str(w.message)]
+    assert set(out.values()) == {0}
 
 
 def test_cluster_min_beats_greedy_on_sparse_graph(spark):

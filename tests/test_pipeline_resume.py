@@ -66,6 +66,32 @@ def test_kill_and_resume(spark, out_dir):
     assert total_in == N_PAGES
 
 
+def test_single_input_pass_per_wave(spark, out_dir):
+    """rows_in comes from Observation metrics on the write action — the
+    wave must make exactly ONE pass over the input (a second column-pruned
+    rescan per wave is an extra pass over the url column at 100 TB).
+
+    Pin it with the Spark job count for one single-wave run: any
+    reintroduced per-wave input action adds a job and trips the bound."""
+    pages = generate_pages(spark, 100, seed=3)
+    sc = spark.sparkContext
+    sc.setJobGroup("wave_jobs", "single-wave pipeline run")
+    try:
+        run_extraction_pipeline(
+            spark, pages, out_dir, run_id="j", n_buckets=2, wave_size=2
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("wave_jobs")
+    # measured: 5 jobs for one wave (write carrying the observation,
+    # committed read + stats collect, manifest append, parquet footer job);
+    # the pre-fix per-wave groupBy-count rescan measured 7
+    assert len(jobs) <= 5, f"wave ran {len(jobs)} jobs — extra input pass?"
+    # and the observation-supplied lineage is still exact
+    m = read_manifest(spark, out_dir)
+    assert m.agg(F.sum("rows_in").alias("s")).collect()[0].s == 100
+
+
 def test_rerun_is_idempotent(spark, out_dir):
     pages = generate_pages(spark, 200, seed=7)
     run_extraction_pipeline(

@@ -34,6 +34,23 @@ def test_q3_broadcasts_never_sortmerge(plans):
     assert "TakeOrderedAndProject" in p  # top-10 without global sort
 
 
+def test_q3_forces_broadcast_on_customer_only(spark):
+    # Exactly ONE broadcast hint, and it must sit on the customer scan —
+    # filtered orders is ~half the orders table, and a forced broadcast of
+    # the orders⋈customer output is an OOM at 100× (round-2 verdict #2).
+    # At sf0.001 sizes the physical plan can't tell forced from size-based
+    # broadcast, so pin the analyzed logical plan's hints instead.
+    df = entry.queries()["q3_shipping_priority"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = [
+        ln for ln in analyzed.splitlines() if "ResolvedHint" in ln
+    ]
+    assert len(hints) == 1, f"expected 1 broadcast hint, got: {hints}"
+    # the hinted subtree is the customer relation, not a join output
+    idx = analyzed.index("ResolvedHint")
+    assert "Join" not in analyzed[idx : analyzed.index("c_custkey", idx)]
+
+
 def test_topk_is_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans("top5_expensive_orders")
     assert "TakeOrderedAndProject" in plans("emb_cosine_topk")

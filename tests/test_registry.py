@@ -56,6 +56,29 @@ def test_oracle_column_names_match_spark(frames):
     assert not mismatches, f"alias mismatches: {mismatches}"
 
 
+def test_no_hugeint_oracle_columns():
+    """DuckDB widens sum(INT)/list_aggregate('sum') to HUGEINT (int128),
+    which the harness canonicalizer renders differently from Spark's BIGINT
+    — the round-2 root cause for all 3 hash-fails. DESCRIBE every oracle (no
+    execution) and require every output column to be a non-HUGEINT type;
+    wrap offending sums in CAST(... AS BIGINT)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, sql in entry.oracle_sql().items():
+        bad = [
+            (r[0], r[1])
+            for r in con.execute(f"DESCRIBE {sql}").fetchall()
+            if "HUGEINT" in r[1].upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"HUGEINT oracle columns (CAST to BIGINT): {offenders}"
+
+
 def test_window_is_all_oracle_backed():
     """The harness checks a 50-query prefix: every slot must be oracle-
     backed or correctness credit is thrown away (round-1 regression)."""

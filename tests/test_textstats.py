@@ -106,6 +106,7 @@ def test_pii_redaction_and_counts(spark):
             (1, "mail a.user+x@sub.example.co.uk and 10.0.0.1 call +44 (0)20 7946 0958 ok"),
             (2, "no pii here at all"),
             (3, ""),
+            (4, "server at 192.168.100.217 responded"),  # 9+ chars: phone-shaped
         ],
         "doc_id long, text string",
     )
@@ -117,6 +118,9 @@ def test_pii_redaction_and_counts(spark):
     assert out[1].c.emails == 1 and out[1].c.ips == 1 and out[1].c.phones >= 1
     assert out[2].red == "no pii here at all"
     assert out[3].red == ""
+    # pii_counts mirrors redact_pii's order: a long IPv4 is an IP, NOT a phone
+    assert out[4].c.ips == 1 and out[4].c.phones == 0
+    assert "<IP>" in out[4].red and "<PHONE>" not in out[4].red
 
 
 def test_repetition_rules(spark):
