@@ -41,7 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders",  # left_semi also green via doc_dedup_exact
         "doc_nonempty",  # trivial filter; F1-3/F6 ride other green queries
         "doc_sha256",  # sha256 parity green via doc_dedup_exact + image_manifest
-        "emb_near_dup_pairs",  # 0-row check; cosine family green elsewhere
+        "emb_near_dup_pairs",  # fires on planted twins (oracle-green); cosine family green via similarity_topk_batch
         "search_filtered",  # equality filter; F-family rides other greens
         "best_event_type_per_user",  # argmax shape green via best_doc_per_source
         "event_type_wins",  # win-count agg; A-family green via events_type_stats
@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk",  # brute-force cosine top-k green via similarity_topk_batch
         "quantization_storage",  # A14 analytical table; real kernels green via emb_quantize_int8
         "doc_quality_score",  # composite quality green via doc_lang_quality (same textstats algebra)
+        "doc_source_histogram",  # group-by-source count green via corpus_stats (richer agg, same key)
     )
 
     def key(kv):

@@ -50,7 +50,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_SMALL = max(1, CPUS // 16)
 N_BIG = N_SMALL * 4
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+# 160k keeps the whole bench (7 fixed visits) under ~8 min on a quiet host;
+# docs/s and the efficiency ratio are corpus-size-normalized, so this stays
+# comparable with the 200k-page round-1/2 records
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "160000"))
 REPS_PER_VISIT = 2
 # FIXED pre-declared visit schedule — never extended at runtime. (The
 # round-2 harness bought extra pairs only while efficiency < 0.8, an

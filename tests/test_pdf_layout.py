@@ -68,14 +68,15 @@ def test_error_isolation():
     assert parse_pdf_layout(b"{}")["status"] == "no_content"
 
 
-def test_real_decode_gated():
-    try:
-        import pypdf  # noqa: F401
+def test_real_decode_works_without_pypdf():
+    # decode_pdf_real falls back to the pure-Python minimal decoder when
+    # pypdf is absent: real PDF bytes decode either way, and malformed
+    # bytes raise ValueError (mapped to decode_error by parse_pdf_bytes)
+    from docling_japanese_books_spark.extraction.pdf_bytes import text_to_pdf
 
-        pytest.skip("pypdf present")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
+    ir = decode_pdf_real(text_to_pdf("real decode path"))
+    assert [s["text"] for s in ir["pages"][0]["spans"]] == ["real decode path"]
+    with pytest.raises(ValueError):
         decode_pdf_real(b"%PDF-1.4")
 
 

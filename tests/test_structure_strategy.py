@@ -168,8 +168,10 @@ def test_page_cap_truncates_and_tags():
     assert parse_pdf_layout(pre)["status"] == "truncated"
 
 
-def test_real_pdf_decode_is_gated():
-    with pytest.raises(NotImplementedError, match="pypdf"):
+def test_real_pdf_decode_rejects_garbage():
+    # the pure-Python fallback decodes real PDFs (see test_pdf_bytes.py)
+    # and raises on non-PDF bytes rather than silently returning something
+    with pytest.raises(ValueError):
         decode_pdf_real(b"%PDF-1.4 fake")
 
 
