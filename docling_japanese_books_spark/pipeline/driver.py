@@ -82,6 +82,49 @@ def completed_buckets(spark: SparkSession, output_dir: str) -> set:
     }
 
 
+def _extract_html(sub: DataFrame) -> DataFrame:
+    """Default extractor: HTML boilerplate strip (north-rule hot path)."""
+    from ..extraction.html import extract_pages
+
+    return extract_pages(sub).select(
+        "url",
+        "warc_ts",
+        "lang",
+        "bucket",
+        F.col("extracted.text").alias("text"),
+        F.col("extracted.status").alias("status"),
+        F.col("extracted.blocks_kept").alias("blocks_kept"),
+        F.col("extracted.blocks_dropped").alias("blocks_dropped"),
+    )
+
+
+def extract_pdf_pages(sub: DataFrame, payload_col: str = "html") -> DataFrame:
+    """PDF-corpus extractor for the resumable pipeline: decodes real PDF
+    byte streams (extraction/pdf.parse_pdf_bytes_udf — pypdf when present,
+    pure-Python fallback otherwise). Metric mapping into the shared
+    manifest schema: blocks_kept = decoded spans, blocks_dropped = 0 (the
+    PDF path has no boilerplate classifier; decode failures surface via
+    status, counted as parse_failures)."""
+    from ..extraction.pdf import parse_pdf_bytes_udf
+
+    return sub.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "bucket",
+        parse_pdf_bytes_udf(F.col(payload_col)).alias("e"),
+    ).select(
+        "url",
+        "warc_ts",
+        "lang",
+        "bucket",
+        F.col("e.text").alias("text"),
+        F.col("e.status").alias("status"),
+        F.col("e.n_spans").cast("long").alias("blocks_kept"),
+        F.lit(0).cast("long").alias("blocks_dropped"),
+    )
+
+
 def run_extraction_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -91,13 +134,17 @@ def run_extraction_pipeline(
     n_buckets: int = 32,
     wave_size: int = 8,
     max_waves: Optional[int] = None,
+    extractor=None,
 ) -> PipelineResult:
     """Extract main content for every page, resumable per bucket.
 
-    ``max_waves`` exists for tests (simulate a killed run by stopping after
-    N waves); production leaves it None.
+    ``extractor`` maps a bucketed pages frame to rows of
+    (url, warc_ts, lang, bucket, text, status, blocks_kept, blocks_dropped)
+    — default is the HTML boilerplate strip; pass ``extract_pdf_pages`` for
+    a PDF corpus. ``max_waves`` exists for tests (simulate a killed run by
+    stopping after N waves); production leaves it None.
     """
-    from ..extraction.html import extract_pages
+    extractor = extractor or _extract_html
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -132,19 +179,7 @@ def run_extraction_pipeline(
                 for b in wave
             ],
         )
-        extracted = (
-            extract_pages(sub)
-            .select(
-                "url",
-                "warc_ts",
-                "lang",
-                "bucket",
-                F.col("extracted.text").alias("text"),
-                F.col("extracted.status").alias("status"),
-                F.col("extracted.blocks_kept").alias("blocks_kept"),
-                F.col("extracted.blocks_dropped").alias("blocks_dropped"),
-            )
-        )
+        extracted = extractor(sub)
         # dynamic overwrite: only the buckets present in `extracted` are
         # replaced; a rerun of the same wave is idempotent.
         extracted.write.partitionBy("bucket").mode("overwrite").parquet(

@@ -106,6 +106,51 @@ def test_rerun_is_idempotent(spark, out_dir):
     assert spark.read.parquet(f"{out_dir}/data").count() == before
 
 
+def test_pdf_corpus_pipeline(spark, out_dir):
+    """Real PDF byte streams through the resumable pipeline: pages whose
+    payload is genuine PDF bytes (writer in extraction/pdf_bytes) extract
+    via the PDF extractor, resume correctly, and reproduce the source text
+    byte-identically; corrupt payloads land as parse_failures, not crashes."""
+    from pyspark.sql import Row
+
+    from docling_japanese_books_spark.extraction.pdf_bytes import text_to_pdf
+    from docling_japanese_books_spark.pipeline.driver import extract_pdf_pages
+
+    ts = __import__("datetime").datetime(2024, 1, 1)
+    rows = [
+        Row(
+            url=f"s3://corpus/doc{i}.pdf",
+            warc_ts=ts,
+            html=text_to_pdf(f"pdf document number {i} body text"),
+            text="",
+            lang="ja",
+        )
+        for i in range(60)
+    ] + [Row(url="s3://corpus/bad.pdf", warc_ts=ts, html=b"corrupt", text="", lang="ja")]
+    pages = spark.createDataFrame(rows)
+
+    r1 = run_extraction_pipeline(
+        spark, pages, out_dir, run_id="p1", n_buckets=4, wave_size=2,
+        max_waves=1, extractor=extract_pdf_pages,
+    )
+    assert len(r1.buckets_processed) == 2
+    r2 = run_extraction_pipeline(
+        spark, pages, out_dir, run_id="p2", n_buckets=4, wave_size=2,
+        extractor=extract_pdf_pages,
+    )
+    assert set(r2.buckets_skipped) == set(r1.buckets_processed)
+
+    data = spark.read.parquet(f"{out_dir}/data")
+    assert data.count() == 61
+    ok = {r.url: r.text for r in data.filter("status = 'ok'").collect()}
+    assert len(ok) == 60
+    for i in range(60):
+        assert ok[f"s3://corpus/doc{i}.pdf"] == f"pdf document number {i} body text"
+    m = read_manifest(spark, out_dir)
+    assert m.agg(F.sum("parse_failures").alias("s")).collect()[0].s == 1
+    assert m.agg(F.sum("rows_in").alias("s")).collect()[0].s == 61
+
+
 def test_extraction_output_byte_identical(spark, out_dir):
     pages = generate_pages(spark, 200, seed=42)
     run_extraction_pipeline(

@@ -104,6 +104,15 @@ def test_structural_chunker_single_python_stage(plans):
     assert plans("chunk_structural").count("ArrowEvalPython") == 1
 
 
+def test_pdf_real_roundtrip_fused_single_stage(plans):
+    # writer UDF + decoder UDF fuse into ONE ArrowEvalPython stage with no
+    # shuffle: the PDF bytes never cross an exchange, and neither UDF is
+    # duplicated into injected filters
+    p = plans("pdf_real_roundtrip")
+    assert p.count("ArrowEvalPython") == 1
+    assert "Exchange" not in p
+
+
 def test_minhash_lsh_banded_join_is_slim(plans):
     # the banded self-join must not carry the 64-long signature through any
     # exchange: signatures re-attach to surviving pairs only (narrow joins)

@@ -146,3 +146,40 @@ def test_structural_chunker_invariants(body, max_len):
         assert c["heading_path"] == "T"
         assert c["text"].startswith("T\n\n")
         assert c["body"]
+
+
+# --- real PDF bytes roundtrip ----------------------------------------------
+
+# words: non-empty, no whitespace (the writer's wrap contract splits on a
+# single space), any other unicode including CJK
+_word = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Zs", "Zl", "Zp", "Cc"),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    words=st.lists(_word, min_size=1, max_size=120),
+    wpl=st.integers(min_value=1, max_value=10),
+    lpp=st.integers(min_value=1, max_value=6),
+)
+def test_pdf_bytes_roundtrip_property(words, wpl, lpp):
+    """Any space-joined word sequence survives write-as-real-PDF ->
+    pure-Python decode -> reading-order reconstruction, byte-identically,
+    for every wrap geometry."""
+    from docling_japanese_books_spark.extraction.pdf import (
+        reconstruct_reading_order,
+    )
+    from docling_japanese_books_spark.extraction.pdf_bytes import (
+        decode_pdf_minimal,
+        text_to_pdf,
+    )
+
+    text = " ".join(words)
+    ir = decode_pdf_minimal(text_to_pdf(text, words_per_line=wpl, lines_per_page=lpp))
+    rec = reconstruct_reading_order(ir).replace("\n\n", " ").replace("\n", " ")
+    assert rec == text
