@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantization_storage",  # A14 analytical table; real kernels green via emb_quantize_int8
         "doc_quality_score",  # composite quality green via doc_lang_quality (same textstats algebra)
         "doc_source_histogram",  # group-by-source count green via corpus_stats (richer agg, same key)
+        "orders_rank_in_customer",  # partition-rank window green via similarity_topk_batch (row_number) + orders_rollup
     )
 
     def key(kv):

@@ -1,12 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The reference extracts PNGs from PDFs, hashes them, and manifests them
-(``image_processor.py:29-153,204-227``, S9). Here the Spark-side plumbing is
-real — schemas, batch iteration, partitioning, manifest aggregation — while
-the pixel decode is STUBBED (image libs are not in this container): the
-default ``decode_fn`` is a clearly-marked deterministic fake; pass a real
-one (PIL-based) in an environment that has it. ``decode_image_real`` raises
-NotImplementedError unless PIL is importable.
+(``image_processor.py:29-153,204-227``, S9). The Spark-side plumbing is
+real — schemas, batch iteration, partitioning, manifest aggregation — and
+since round 3 PNG pixel decode is real too (pure-Python codec in
+``png_codec.py``; ``decode_image_real`` uses it for PNG payloads and only
+needs PIL for other formats). The default ``decode_fn`` remains the
+deterministic fake so fixture-driven queries stay library-independent;
+pass ``decode_image_real`` to run on real pixels.
 """
 
 from __future__ import annotations
@@ -49,14 +50,27 @@ def fake_decode(payload: bytes) -> dict:
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real decode path — gated on PIL availability."""
+    """Real decode path: PNGs decode pure-Python (multimodal/png_codec —
+    real pixels, real features, no PIL needed); other formats go through
+    PIL when installed, else raise. Corrupt/out-of-subset PNG bytes raise
+    ValueError — extract_image_features isolates that per row."""
+    from .png_codec import PNG_SIGNATURE, image_features, png_to_pixels
+
+    if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+        px = png_to_pixels(payload)
+        return dict(
+            width=int(px.shape[1]),
+            height=int(px.shape[0]),
+            format="png",
+            feature=image_features(px),
+        )
     try:
         import io
 
         from PIL import Image  # type: ignore
     except ImportError as ex:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "real image decode requires PIL; use fake_decode or install pillow"
+            "non-PNG decode requires PIL; PNGs decode pure-Python"
         ) from ex
     img = Image.open(io.BytesIO(payload))
     return dict(

@@ -121,6 +121,23 @@ def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
     return tag + hashlib.sha256(payload).digest()
 
 
+def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for PNG payloads (the reference's image format,
+    image_processor.py:29-76): pure-Python decode -> nearest-neighbor ->
+    re-encode via multimodal/png_codec. Non-PNG payloads fall back to the
+    stub (PIL would slot in here where installed)."""
+    from .png_codec import (
+        PNG_SIGNATURE,
+        pixels_to_png,
+        png_to_pixels,
+        resize_nearest,
+    )
+
+    if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+        return pixels_to_png(resize_nearest(png_to_pixels(payload), width, height))
+    return resize_image_stub(payload, width, height)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), True),
@@ -141,18 +158,20 @@ def resize_images(
     payload_col: str = "payload",
     doc_col: str = "doc_id",
     index_col: str = "image_index",
+    resize_fn: Optional[Callable[[bytes, int, int], bytes]] = None,
 ) -> DataFrame:
     """Binary-in/binary-out resize as one Arrow-batched map stage (no
-    shuffle): the Spark plumbing — schema, batch shape, size accounting —
-    is real; the pixel op is ``resize_image_stub`` (swap a PIL thumbnail
-    call in where pillow exists)."""
+    shuffle). Default pixel op is ``resize_image_real``: REAL decode ->
+    nearest-neighbor -> re-encode for PNG payloads (pure-Python codec),
+    digest stub for other formats until PIL exists."""
+    resize = resize_fn or resize_image_real
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs, nin, nout = [], [], []
             for payload in pdf[payload_col]:
                 data = bytes(payload) if payload is not None else b""
-                resized = resize_image_stub(data, width, height)
+                resized = resize(data, width, height)
                 outs.append(resized)
                 nin.append(len(data))
                 nout.append(len(resized))

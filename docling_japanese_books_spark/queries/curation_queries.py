@@ -4,8 +4,11 @@ each driver-checkable."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.dedup import (
     char_ngrams,
@@ -432,4 +435,65 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("payload", 256).alias("payload_sha"),
         "n_bytes_in",
         "n_bytes_out",
+    )
+
+
+@query(
+    "png_pixel_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 16 AS INT) AS width,
+           CAST(8 + doc_id % 8 AS INT)  AS height,
+           round(
+             list_aggregate(
+               flatten(list_transform(range(0, CAST(8 + doc_id % 8 AS INT)),
+                 y -> list_transform(range(0, CAST(8 + doc_id % 16 AS INT)),
+                   x -> CAST((x * 7 + y * 13 + doc_id) % 256 AS DOUBLE)))),
+               'avg') / 255.0, 6) AS mean_px
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def png_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode under the driver gate: a deterministic
+    gradient image is synthesized per doc, encoded as a genuine PNG
+    (multimodal/png_codec, filter type cycling doc_id%5 so all five
+    scanline filters are exercised), decoded back pure-Python, and the
+    reported width/height/pixel-mean come from the DECODED pixels. The
+    oracle predicts all three analytically from the gradient formula —
+    any codec defect (filter math, stride, CRC) breaks the hash match."""
+    from ..multimodal.png_codec import pixels_to_png, png_to_pixels
+
+    schema = T.StructType(
+        [
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("mean_px", T.DoubleType(), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def roundtrip(doc_id: pd.Series) -> pd.DataFrame:
+        rows = []
+        for d in doc_id:
+            d = int(d)
+            w, h = 8 + d % 16, 8 + d % 8
+            x, y = np.arange(w), np.arange(h)
+            px = ((x[None, :] * 7 + y[:, None] * 13 + d) % 256).astype(np.uint8)
+            back = png_to_pixels(pixels_to_png(px, filter_type=d % 5))
+            rows.append(
+                dict(
+                    width=int(back.shape[1]),
+                    height=int(back.shape[0]),
+                    mean_px=float(back.astype(np.float64).mean() / 255.0),
+                )
+            )
+        return pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    e = roundtrip(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        e.getField("width").alias("width"),
+        e.getField("height").alias("height"),
+        F.round(e.getField("mean_px"), 6).alias("mean_px"),
     )
