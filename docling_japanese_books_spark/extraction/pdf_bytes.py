@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import re
 import zlib
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 # ---------------------------------------------------------------------------
 # writer
@@ -70,7 +70,69 @@ def text_to_pdf(
         lines[i : i + lines_per_page] for i in range(0, len(lines), lines_per_page)
     ]
 
-    n_pages = len(pages_lines)
+    page_contents = []
+    for plines in pages_lines:
+        content = bytearray()
+        content += b"BT /F1 12 Tf "
+        content += f"1 0 0 1 {MARGIN_X} {TOP_Y} Tm ".encode("ascii")
+        for j, line in enumerate(plines):
+            if j:
+                content += f"0 {-LEADING} Td ".encode("ascii")
+            content += _utf16be_hex(line) + b" Tj "
+        content += b"ET"
+        page_contents.append(bytes(content))
+    return _assemble_pdf(page_contents, vertical=False)
+
+
+# writing-mode layout constants for the vertical writer: columns must sit
+# further apart than pdf.COLUMN_TOLERANCE (20) so reconstruction keeps them
+# distinct, while ruby runs sit WITHIN the tolerance of nothing (they are
+# absorbed by the decoder before reconstruction ever sees them)
+COL_SPACING, COL_TOP_Y, RUBY_DX, RUBY_SIZE = 30.0, 760.0, 8.0, 6
+
+
+def columns_to_vertical_pdf(
+    columns: List[Tuple[str, Optional[str]]],
+    cols_per_page: int = 12,
+) -> bytes:
+    """Vertical-Japanese real PDF: each (text, ruby) entry becomes one
+    vertical COLUMN, laid out right-to-left (first column rightmost — the
+    tategaki reading order), written with an /Identity-V (vertical writing
+    mode) Type0 font. Ruby/furigana readings are emitted the way real PDFs
+    carry them: a separate small-font text run beside its base column
+    (at base_x + RUBY_DX, half the main font size).
+
+    The decoder detects the vertical writing mode from the font's
+    /Identity-V encoding, attaches small-font runs to their base columns as
+    ruby, and marks spans vertical — reconstruct_reading_order then yields
+    columns right-to-left with ``base(reading)`` folding (north rule:
+    "reading-order reconstruction for vertical Japanese text,
+    furigana/ruby handling")."""
+    pages = [
+        columns[i : i + cols_per_page]
+        for i in range(0, len(columns), cols_per_page)
+    ] or [[]]
+    page_contents = []
+    for pcols in pages:
+        content = bytearray(b"BT ")
+        for j, (text, ruby) in enumerate(pcols):
+            x = PAGE_W - MARGIN_X - j * COL_SPACING
+            content += b"/F1 12 Tf "
+            content += f"1 0 0 1 {x} {COL_TOP_Y} Tm ".encode("ascii")
+            content += _utf16be_hex(text) + b" Tj "
+            if ruby:
+                content += f"/F1 {RUBY_SIZE} Tf ".encode("ascii")
+                content += f"1 0 0 1 {x + RUBY_DX} {COL_TOP_Y} Tm ".encode("ascii")
+                content += _utf16be_hex(ruby) + b" Tj "
+        content += b"ET"
+        page_contents.append(bytes(content))
+    return _assemble_pdf(page_contents, vertical=True)
+
+
+def _assemble_pdf(page_contents: List[bytes], vertical: bool) -> bytes:
+    """Object table, xref offsets, trailer — shared by both writers."""
+    n_pages = len(page_contents)
+    enc = b"Identity-V" if vertical else b"Identity-H"
     # object numbering: 1 catalog, 2 pages, 3 font, then per page
     # (page obj, content obj) pairs
     objs: List[bytes] = []
@@ -80,19 +142,11 @@ def text_to_pdf(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode("ascii")
     )
     objs.append(
-        b"<< /Type /Font /Subtype /Type0 /BaseFont /Embedded-Identity-H"
-        b" /Encoding /Identity-H >>"
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Embedded-" + enc
+        + b" /Encoding /" + enc + b" >>"
     )
-    for i, plines in enumerate(pages_lines):
-        content = bytearray()
-        content += b"BT /F1 12 Tf "
-        content += f"1 0 0 1 {MARGIN_X} {TOP_Y} Tm ".encode("ascii")
-        for j, line in enumerate(plines):
-            if j:
-                content += f"0 {-LEADING} Td ".encode("ascii")
-            content += _utf16be_hex(line) + b" Tj "
-        content += b"ET"
-        data = zlib.compress(bytes(content))
+    for i, content in enumerate(page_contents):
+        data = zlib.compress(content)
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}]"
             f" /Contents {5 + 2 * i} 0 R"
@@ -337,11 +391,12 @@ def _extract_spans(content: bytes) -> List[dict]:
     arr: Optional[List] = None
     lx = ly = tx = ty = 0.0
     leading = 0.0
+    size = 12.0
 
     def show(s: str) -> None:
         t = s.strip()
         if t:
-            spans.append({"x": tx, "y": -ty, "text": t})
+            spans.append({"x": tx, "y": -ty, "text": t, "size": size})
 
     def td(ax: float, ay: float) -> None:
         nonlocal lx, ly, tx, ty
@@ -372,6 +427,8 @@ def _extract_spans(content: bytes) -> List[dict]:
                 if op == b"TD":
                     leading = -ay
                 td(ax, ay)
+            elif op == b"Tf" and stack:
+                size = float(stack[-1])
             elif op == b"TL" and stack:
                 leading = float(stack[-1])
             elif op == b"T*":
@@ -391,9 +448,52 @@ def _extract_spans(content: bytes) -> List[dict]:
     return spans
 
 
+def _page_is_vertical(page_body: bytes, objs: Dict[int, bytes]) -> bool:
+    """Vertical writing mode: any font in the page's /Resources /Font dict
+    declares /Identity-V (the CID vertical-mode encoding real Japanese
+    PDFs use)."""
+    at = page_body.find(b"/Font")
+    scope = page_body[at : at + 400] if at >= 0 else b""
+    refs = [int(m.group(1)) for m in _REF_RE.finditer(scope)]
+    if not refs:  # resources inherited: fall back to any font object
+        refs = [
+            n for n, b in objs.items() if b"/Type" in b and b"/Font" in b
+        ]
+    return any(b"Identity-V" in objs.get(r, b"") for r in refs)
+
+
+def _attach_ruby(spans: List[dict]) -> List[dict]:
+    """Fold furigana: small-font runs (<= 0.7x the page's main font size)
+    sitting just right of a base column (vertical ruby position) become
+    that span's ``ruby`` annotation instead of standalone text."""
+    if not spans:
+        return spans
+    main = max(s["size"] for s in spans)
+    base = [s for s in spans if s["size"] > 0.7 * main]
+    ruby = [s for s in spans if s["size"] <= 0.7 * main]
+    if not base or not ruby:
+        return spans
+    out = list(base)
+    for r in ruby:
+        cands = [
+            b
+            for b in out
+            if 0 < r["x"] - b["x"] <= 15 and abs(r["y"] - b["y"]) <= 40
+        ]
+        if cands:
+            b = min(cands, key=lambda b: (r["x"] - b["x"], abs(r["y"] - b["y"])))
+            b["ruby"] = (b.get("ruby") or "") + r["text"]
+        else:
+            out.append(r)  # orphan small run: keep as plain text
+    return out
+
+
 def decode_pdf_minimal(payload: bytes, max_pages: Optional[int] = None) -> dict:
     """Real PDF bytes -> layout IR (same shape as the pypdf visitor path).
 
+    Pages whose fonts declare /Identity-V are vertical-writing-mode pages:
+    their spans are marked ``vertical`` (reconstruction orders columns
+    right-to-left) and small-font ruby runs fold into their base columns.
     Raises ValueError on malformed or out-of-subset input — callers
     (``parse_pdf_bytes``) map that to status='decode_error'."""
     objs = _objects(payload)
@@ -406,6 +506,12 @@ def decode_pdf_minimal(payload: bytes, max_pages: Optional[int] = None) -> dict:
         body = objs[num]
         w, h = _media_box(body)
         spans = _extract_spans(_content_bytes(body, objs))
+        if _page_is_vertical(body, objs):
+            spans = _attach_ruby(spans)
+            for s in spans:
+                s["vertical"] = True
+        for s in spans:
+            s.pop("size", None)
         pages.append({"width": w, "height": h, "spans": spans})
     return {
         "pages": pages,

@@ -92,6 +92,48 @@ def pdf_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pdf_vertical_real",
+    r"""
+    SELECT doc_id,
+           array_to_string(
+             list_transform(string_split(text, ' ')[1:6],
+               (w, i) -> CASE WHEN (i - 1) % 2 = 0
+                              THEN w || '(r' || CAST(i - 1 AS VARCHAR) || ')'
+                              ELSE w END),
+             chr(10)) AS extracted
+    FROM documents
+    """,
+)
+def pdf_vertical_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical Japanese reading order + furigana on REAL PDF bytes, under
+    the driver gate (north rule: "reading-order reconstruction for vertical
+    Japanese text, furigana/ruby handling"): each document's first 6 words
+    become right-to-left tategaki columns in an Identity-V PDF, with ruby
+    'r<i>' planted on even columns as small-font runs; the engine must
+    decode the bytes, detect the vertical writing mode, re-attach the ruby
+    runs, and emit columns in original order with base(reading) folding —
+    which the oracle predicts as a pure string transform."""
+    from ..extraction.pdf import parse_pdf_bytes
+    from ..extraction.pdf_bytes import columns_to_vertical_pdf
+
+    @F.pandas_udf(T.StringType())
+    def vertical_roundtrip(text: pd.Series) -> pd.Series:
+        def one(t: str) -> str:
+            words = (t or "").split(" ")[:6]
+            cols = [
+                (w, f"r{i}" if i % 2 == 0 else None) for i, w in enumerate(words)
+            ]
+            return parse_pdf_bytes(columns_to_vertical_pdf(cols))["text"]
+
+        return text.map(one)
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", vertical_roundtrip(F.col("text")).alias("extracted")
+    )
+
+
 @query("pdf_layout_vertical")
 def pdf_layout_vertical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertical-text reading order over synthesized two-column pages

@@ -146,3 +146,36 @@ def test_parse_pdf_bytes_udf_spark(spark):
     assert out[1].status == "ok" and out[1].text == "spark reads real pdf bytes"
     assert out[2].status == "decode_error"
     assert out[3].status == "empty"
+
+
+def test_vertical_pdf_reading_order_and_ruby():
+    """North rule: vertical Japanese reading order + furigana on REAL
+    bytes. Columns come back right-to-left (original order), ruby runs
+    fold as base(reading), and the Identity-V font drives detection."""
+    from docling_japanese_books_spark.extraction.pdf_bytes import (
+        columns_to_vertical_pdf,
+    )
+
+    cols = [("吾輩は猫である", "わがはい"), ("名前はまだ無い", None), ("薙刀体操法", "なぎなた")]
+    ir = decode_pdf_minimal(columns_to_vertical_pdf(cols))
+    spans = ir["pages"][0]["spans"]
+    assert all(s["vertical"] for s in spans)
+    assert [s.get("ruby") for s in spans] == ["わがはい", None, "なぎなた"]
+    assert reconstruct_reading_order(ir) == (
+        "吾輩は猫である(わがはい)\n名前はまだ無い\n薙刀体操法(なぎなた)"
+    )
+    # horizontal writer output must NOT be flagged vertical
+    ir_h = decode_pdf_minimal(text_to_pdf("plain text"))
+    assert not any(s.get("vertical") for s in ir_h["pages"][0]["spans"])
+
+
+def test_vertical_pdf_multipage_and_column_spacing():
+    from docling_japanese_books_spark.extraction.pdf_bytes import (
+        columns_to_vertical_pdf,
+    )
+
+    cols = [(f"col{i}", None) for i in range(30)]
+    ir = decode_pdf_minimal(columns_to_vertical_pdf(cols, cols_per_page=12))
+    assert len(ir["pages"]) == 3
+    flat = reconstruct_reading_order(ir).replace("\n\n", "\n").split("\n")
+    assert flat == [f"col{i}" for i in range(30)]  # strict tategaki order
