@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_histogram",  # group-by-source count green via corpus_stats (richer agg, same key)
         "orders_rank_in_customer",  # partition-rank window green via similarity_topk_batch (row_number) + orders_rollup
         "pdf_layout_roundtrip",  # IR-path roundtrip green via pdf_real_roundtrip (real bytes, same reconstruction) + pdf_pages_capped (IR parse)
+        "extract_metrics",  # same UDF path green per-row via extract_roundtrip; status-counter agg shape green via events_type_stats/corpus_stats
     )
 
     def key(kv):

