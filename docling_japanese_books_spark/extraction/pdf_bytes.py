@@ -179,15 +179,49 @@ def _assemble_pdf(page_contents: List[bytes], vertical: bool) -> bytes:
 # decoder
 # ---------------------------------------------------------------------------
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_OBJHDR_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
-_LEN_RE = re.compile(rb"/Length\s+(\d+)\b")
+# direct /Length only: `/Length 5 0 R` is an indirect reference whose
+# leading integer is an OBJECT NUMBER, not a byte count — the negative
+# lookahead keeps it from being misread as a 5-byte stream
+_LEN_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)\b")
 
 
 def _objects(payload: bytes) -> Dict[int, bytes]:
+    """Sequential object scan with a cursor that JUMPS OVER stream data:
+    stream bytes may contain 'endobj'/'N 0 obj' byte sequences, so a regex
+    over the whole payload would truncate objects or fabricate phantom
+    ones. With a direct /Length the stream extent is exact; with an
+    indirect /Length we fall back to the next 'endstream' (documented
+    limitation of the xref-free scan)."""
     if b"/Encrypt" in payload:
         raise ValueError("encrypted PDFs unsupported")
-    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)}
+    objs: Dict[int, bytes] = {}
+    pos = 0
+    while True:
+        m = _OBJHDR_RE.search(payload, pos)
+        if not m:
+            break
+        start = m.end()
+        endobj = payload.find(b"endobj", start)
+        stream_at = payload.find(b"stream", start)
+        if stream_at >= 0 and (endobj < 0 or stream_at < endobj):
+            lm = _LEN_RE.search(payload[start:stream_at])
+            data_start = stream_at + len(b"stream")
+            if payload[data_start : data_start + 2] == b"\r\n":
+                data_start += 2
+            elif payload[data_start : data_start + 1] == b"\n":
+                data_start += 1
+            if lm:
+                scan_from = data_start + int(lm.group(1))
+            else:
+                es = payload.find(b"endstream", data_start)
+                scan_from = es if es >= 0 else start
+            endobj = payload.find(b"endobj", scan_from)
+        if endobj < 0:
+            break
+        objs[int(m.group(1))] = payload[start:endobj]
+        pos = endobj + len(b"endobj")
     if not objs:
         raise ValueError("no PDF objects found")
     return objs
@@ -278,10 +312,15 @@ _ESCAPES = {
 }
 
 
-def _decode_string_bytes(raw: bytes) -> str:
+def _decode_string_bytes(raw: bytes, two_byte: bool = False) -> str:
+    """PDF string bytes -> text. ``two_byte`` means the page's fonts are
+    CID-keyed (Type0 Identity-H/V), where hex strings carry 2-byte codes
+    (UTF-16BE by the Identity convention); simple-font pages emit 1-byte
+    codes, so an even-length ASCII hex string must NOT be misread as
+    UTF-16BE garbage."""
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", errors="replace")
-    if raw and len(raw) % 2 == 0:
+    if two_byte and raw and len(raw) % 2 == 0:
         try:
             return raw.decode("utf-16-be")
         except UnicodeDecodeError:
@@ -289,7 +328,7 @@ def _decode_string_bytes(raw: bytes) -> str:
     return raw.decode("latin-1")
 
 
-def _tokens(data: bytes):
+def _tokens(data: bytes, two_byte: bool = False):
     """Content-stream scanner: yields ('num', float) | ('str', str) |
     ('op', bytes) | ('[',) | (']',). Inline images (BI..EI) are skipped."""
     i, n = 0, len(data)
@@ -307,10 +346,14 @@ def _tokens(data: bytes):
                 ch = data[i : i + 1]
                 if ch == b"\\":
                     nxt = data[i + 1 : i + 2]
-                    if nxt.isdigit():
-                        oct_s = data[i + 1 : i + 4]
+                    # octal escapes take digits 0-7 only: per spec a
+                    # backslash before 8/9 (or any other char) just drops
+                    if nxt and nxt in b"01234567":
                         k = 1
-                        while k <= 3 and data[i + k : i + k + 1].isdigit():
+                        while k <= 3 and (
+                            data[i + k : i + k + 1]
+                            and data[i + k : i + k + 1] in b"01234567"
+                        ):
                             k += 1
                         buf += bytes([int(data[i + 1 : i + k], 8) & 0xFF])
                         i += k
@@ -341,7 +384,12 @@ def _tokens(data: bytes):
                 hexs = re.sub(rb"\s", b"", data[i + 1 : end])
                 if len(hexs) % 2:
                     hexs += b"0"
-                yield ("str", _decode_string_bytes(bytes.fromhex(hexs.decode("ascii"))))
+                yield (
+                    "str",
+                    _decode_string_bytes(
+                        bytes.fromhex(hexs.decode("ascii")), two_byte
+                    ),
+                )
                 i = end + 1
         elif c == b">":
             i += 2 if data[i : i + 2] == b">>" else 1
@@ -380,7 +428,7 @@ def _tokens(data: bytes):
                 yield ("op", op)
 
 
-def _extract_spans(content: bytes) -> List[dict]:
+def _extract_spans(content: bytes, two_byte: bool = False) -> List[dict]:
     """Interpret positioning + show-text operators into positioned spans.
 
     Tracks the text-line translation only (Tm e/f, Td/TD/T* advances) —
@@ -403,7 +451,7 @@ def _extract_spans(content: bytes) -> List[dict]:
         lx, ly = lx + ax, ly + ay
         tx, ty = lx, ly
 
-    for tok in _tokens(content):
+    for tok in _tokens(content, two_byte):
         kind = tok[0]
         if kind == "[":
             arr = []
@@ -418,9 +466,7 @@ def _extract_spans(content: bytes) -> List[dict]:
             if op == b"BT":
                 lx = ly = tx = ty = 0.0
             elif op == b"Tm" and len(stack) >= 6:
-                e, f = stack[-2], stack[-1]
-                lx = ly = 0.0
-                lx, ly = float(e), float(f)
+                lx, ly = float(stack[-2]), float(stack[-1])
                 tx, ty = lx, ly
             elif op in (b"Td", b"TD") and len(stack) >= 2:
                 ax, ay = float(stack[-2]), float(stack[-1])
@@ -448,18 +494,67 @@ def _extract_spans(content: bytes) -> List[dict]:
     return spans
 
 
+def _balanced_dict(data: bytes, start: int) -> bytes:
+    """``data[start:]`` begins with ``<<``; return the balanced block."""
+    depth, i, n = 0, start, len(data)
+    while i < n - 1:
+        two = data[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    return data[start:]
+
+
+_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+
+
+def _page_fonts(
+    page_body: bytes, objs: Dict[int, bytes], depth: int = 0
+) -> List[bytes]:
+    """Font object bodies in scope for a page: its own /Resources (inline
+    dict or indirect), else INHERITED via the /Parent chain — never a
+    whole-document scan, which would let one vertical font mis-flag every
+    horizontal page of a mixed document."""
+    if depth > 8:
+        return []
+    at = page_body.find(b"/Resources")
+    if at >= 0:
+        tail = page_body[at + len(b"/Resources") :]
+        stripped = tail.lstrip()
+        if stripped[:2] == b"<<":
+            block = _balanced_dict(tail, len(tail) - len(stripped))
+        else:
+            m = _REF_RE.match(stripped)
+            block = objs.get(int(m.group(1)), b"") if m else b""
+        refs = {int(m.group(1)) for m in _REF_RE.finditer(block)}
+        return [objs[r] for r in refs if r in objs and b"/Font" in objs[r]]
+    pm = _PARENT_RE.search(page_body)
+    if pm and int(pm.group(1)) in objs:
+        return _page_fonts(objs[int(pm.group(1))], objs, depth + 1)
+    return []
+
+
 def _page_is_vertical(page_body: bytes, objs: Dict[int, bytes]) -> bool:
-    """Vertical writing mode: any font in the page's /Resources /Font dict
+    """Vertical writing mode: a font in the page's resolved resources
     declares /Identity-V (the CID vertical-mode encoding real Japanese
     PDFs use)."""
-    at = page_body.find(b"/Font")
-    scope = page_body[at : at + 400] if at >= 0 else b""
-    refs = [int(m.group(1)) for m in _REF_RE.finditer(scope)]
-    if not refs:  # resources inherited: fall back to any font object
-        refs = [
-            n for n, b in objs.items() if b"/Type" in b and b"/Font" in b
-        ]
-    return any(b"Identity-V" in objs.get(r, b"") for r in refs)
+    return any(b"Identity-V" in f for f in _page_fonts(page_body, objs))
+
+
+def _page_uses_cid(page_body: bytes, objs: Dict[int, bytes]) -> bool:
+    """CID-keyed text (Type0 / Identity-H / Identity-V): hex strings carry
+    2-byte codes; simple-font pages carry 1-byte codes."""
+    return any(
+        b"Identity-V" in f or b"Identity-H" in f or b"/Type0" in f
+        for f in _page_fonts(page_body, objs)
+    )
 
 
 def _attach_ruby(spans: List[dict]) -> List[dict]:
@@ -505,7 +600,9 @@ def decode_pdf_minimal(payload: bytes, max_pages: Optional[int] = None) -> dict:
     for num in page_nums:
         body = objs[num]
         w, h = _media_box(body)
-        spans = _extract_spans(_content_bytes(body, objs))
+        spans = _extract_spans(
+            _content_bytes(body, objs), two_byte=_page_uses_cid(body, objs)
+        )
         if _page_is_vertical(body, objs):
             spans = _attach_ruby(spans)
             for s in spans:

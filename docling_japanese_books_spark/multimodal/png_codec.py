@@ -166,14 +166,30 @@ def png_header(payload: bytes) -> Tuple[int, int, int, int]:
 
 def png_to_pixels(payload: bytes) -> np.ndarray:
     """PNG bytes -> uint8 array (H,W) gray or (H,W,C). ValueError outside
-    the supported subset (8-bit depth, color types 0/2/6, no interlace)."""
-    w, h, depth, color = png_header(payload)
+    the supported subset (8-bit depth, color types 0/2/6, no interlace).
+
+    One pass over the chunk list (this runs per image inside the Arrow-
+    batched decode stage — walking it twice would re-verify every CRC)."""
+    if payload[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    header = None
+    idat_parts = []
+    for tag, data in _chunks(payload):
+        if tag == b"IHDR":
+            header = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat_parts.append(data)
+    if header is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, comp, filt, interlace = header
+    if interlace:
+        raise ValueError("Adam7 interlace unsupported")
     if depth != 8:
         raise ValueError(f"bit depth {depth} unsupported (8 only)")
     ch = _CHANNELS.get(color)
     if ch is None:
         raise ValueError(f"color type {color} unsupported (0/2/6 only)")
-    idat = b"".join(data for tag, data in _chunks(payload) if tag == b"IDAT")
+    idat = b"".join(idat_parts)
     raw = zlib.decompress(idat)
     stride = w * ch
     if len(raw) != h * (stride + 1):

@@ -187,28 +187,35 @@ def run_extraction_pipeline(
         )
         wall_ms = int((time.time() - t0) * 1000)
 
-        # the write action above populated the observation
+        # the write action above populated the observation; a sum over an
+        # all-empty wave comes back null, so coalesce to 0 (empty buckets
+        # are legal: n_buckets can exceed the distinct-url count)
         obs_metrics = obs.get
-        rows_in = {int(b): int(obs_metrics[f"b_{int(b)}"]) for b in wave}
+        rows_in = {int(b): int(obs_metrics[f"b_{int(b)}"] or 0) for b in wave}
 
-        # metrics from the committed data (read-back = what downstream sees)
-        committed = spark.read.parquet(_data_path(output_dir)).filter(
-            F.col("bucket").isin([int(b) for b in wave])
-        )
-        stats = (
-            committed.groupBy("bucket")
-            .agg(
-                F.count("*").alias("rows_out"),
-                F.sum("blocks_kept").alias("blocks_kept"),
-                F.sum("blocks_dropped").alias("blocks_dropped"),
-                F.sum(
-                    F.when(
-                        F.col("status").isin("decode_error", "parse_error"), 1
-                    ).otherwise(0)
-                ).alias("parse_failures"),
+        # metrics from the committed data (read-back = what downstream sees);
+        # an all-empty FIRST wave writes no files, so the data directory may
+        # not exist yet — those buckets are legitimately 0-row 'done'
+        try:
+            committed = spark.read.parquet(_data_path(output_dir)).filter(
+                F.col("bucket").isin([int(b) for b in wave])
             )
-            .collect()
-        )
+            stats = (
+                committed.groupBy("bucket")
+                .agg(
+                    F.count("*").alias("rows_out"),
+                    F.sum("blocks_kept").alias("blocks_kept"),
+                    F.sum("blocks_dropped").alias("blocks_dropped"),
+                    F.sum(
+                        F.when(
+                            F.col("status").isin("decode_error", "parse_error"), 1
+                        ).otherwise(0)
+                    ).alias("parse_failures"),
+                )
+                .collect()
+            )
+        except Exception:
+            stats = []
         by_bucket = {r.bucket: r for r in stats}
         manifest_rows = []
         for b in wave:

@@ -23,12 +23,15 @@ def _text_to_pdf_udf(text: pd.Series) -> pd.Series:
 
 @query(
     "pdf_real_roundtrip",
-    """
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+      FROM documents)
     SELECT doc_id, 'ok' AS status, true AS text_match,
-           CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS n_spans,
-           CAST(ceil(ceil(len(string_split(text, ' ')) / 8.0) / 40.0) AS INT)
+           CAST(ceil(len(string_split(t, ' ')) / 8.0) AS INT) AS n_spans,
+           CAST(ceil(ceil(len(string_split(t, ' ')) / 8.0) / 40.0) AS INT)
              AS n_pages
-    FROM documents
+    FROM norm WHERE length(t) > 0
     """,
 )
 def pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,12 +41,23 @@ def pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     then decoded back through the pure-Python PDF parser and the
     reading-order reconstruction. text_match asserts the byte-identical
     roundtrip (north rule); the oracle independently predicts span/page
-    counts from the wrap geometry (8 words/line, 40 lines/page)."""
+    counts from the wrap geometry (8 words/line, 40 lines/page).
+
+    Text is whitespace-normalized identically on BOTH sides first: the
+    writer's wrap contract is single-space-separated non-empty words and
+    the decoder strips spans, so a trailing/double space or empty text in
+    a regenerated fixture would otherwise silently break the oracle's
+    prediction."""
     docs = t(spark, sf_dir, "documents")
-    parsed = docs.select(
-        "doc_id",
-        "text",
-        parse_pdf_bytes_udf(_text_to_pdf_udf(F.col("text"))).alias("e"),
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    parsed = (
+        docs.select("doc_id", norm.alias("text"))
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "text",
+            parse_pdf_bytes_udf(_text_to_pdf_udf(F.col("text"))).alias("e"),
+        )
     )
     flat = F.replace(
         F.replace(F.col("e.text"), F.lit("\n\n"), F.lit(" ")),
@@ -95,14 +109,17 @@ def pdf_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pdf_vertical_real",
     r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+      FROM documents)
     SELECT doc_id,
            array_to_string(
-             list_transform(string_split(text, ' ')[1:6],
+             list_transform(string_split(t, ' ')[1:6],
                (w, i) -> CASE WHEN (i - 1) % 2 = 0
                               THEN w || '(r' || CAST(i - 1 AS VARCHAR) || ')'
                               ELSE w END),
              chr(10)) AS extracted
-    FROM documents
+    FROM norm WHERE length(t) > 0
     """,
 )
 def pdf_vertical_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,7 +137,9 @@ def pdf_vertical_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf(T.StringType())
     def vertical_roundtrip(text: pd.Series) -> pd.Series:
         def one(t: str) -> str:
-            words = (t or "").split(" ")[:6]
+            # whitespace-normalized like the oracle, so words are never
+            # empty (an empty column's orphan ruby would desync the two)
+            words = " ".join((t or "").split()).split(" ")[:6]
             cols = [
                 (w, f"r{i}" if i % 2 == 0 else None) for i, w in enumerate(words)
             ]
@@ -129,9 +148,9 @@ def pdf_vertical_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         return text.map(one)
 
     docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", vertical_roundtrip(F.col("text")).alias("extracted")
-    )
+    return docs.filter(
+        F.length(F.trim(F.regexp_replace("text", r"\s+", " "))) > 0
+    ).select("doc_id", vertical_roundtrip(F.col("text")).alias("extracted"))
 
 
 @query("pdf_layout_vertical")

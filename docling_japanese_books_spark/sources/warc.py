@@ -133,6 +133,7 @@ def _parse_http_response(payload: bytes) -> Tuple[bytes, Optional[str]]:
     head, body = payload[:sep], payload[sep + 4 :]
     lang = None
     chunked = False
+    content_length = None
     for line in head.split(CRLF)[1:]:
         k, _, v = line.partition(b":")
         key = k.strip().lower()
@@ -142,11 +143,16 @@ def _parse_http_response(payload: bytes) -> Tuple[bytes, Optional[str]]:
             chunked = True
         elif key == b"content-length":
             try:
-                body = body[: int(v.strip())]
+                content_length = int(v.strip())
             except ValueError:
                 pass
+    # RFC 7230 §3.3.3: when both are present, Transfer-Encoding wins and
+    # Content-Length must be ignored — truncating at CL before dechunking
+    # would corrupt the body (real servers do send both)
     if chunked:
-        body = _dechunk(body)
+        return _dechunk(body), lang
+    if content_length is not None:
+        body = body[:content_length]
     return body, lang
 
 

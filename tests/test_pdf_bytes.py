@@ -179,3 +179,96 @@ def test_vertical_pdf_multipage_and_column_spacing():
     assert len(ir["pages"]) == 3
     flat = reconstruct_reading_order(ir).replace("\n\n", "\n").split("\n")
     assert flat == [f"col{i}" for i in range(30)]  # strict tategaki order
+
+
+# --- review-pass regression tests -------------------------------------------
+
+
+def test_indirect_length_falls_back_to_endstream():
+    """`/Length 5 0 R` stores the byte count in object 5 — the leading 5
+    is an object number, NOT a length; misreading it truncated streams."""
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (full text survives) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        b"<< /Length 5 0 R >>\nstream\n" + content + b"\nendstream",
+        str(len(content)).encode(),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for num, body in enumerate(objs, start=1):
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    ir = decode_pdf_minimal(bytes(out))
+    assert [s["text"] for s in ir["pages"][0]["spans"]] == ["full text survives"]
+
+
+def test_backslash_before_non_octal_digit():
+    """Per spec, a backslash before 8/9 is dropped (not an octal escape):
+    '(a \\8 b)' means 'a 8 b'. int(..., 8) on '8' used to reject the doc."""
+    ir = decode_pdf_minimal(_manual_pdf(b"BT (a \\8 b \\9) Tj ET"))
+    assert [s["text"] for s in ir["pages"][0]["spans"]] == ["a 8 b 9"]
+
+
+def test_simple_font_hex_strings_stay_single_byte():
+    """An even-length ASCII hex string in a simple-font page is 1-byte
+    codes — decoding it as UTF-16BE yields CJK garbage. Only CID (Type0 /
+    Identity-H/V) pages use 2-byte hex codes."""
+    ir = decode_pdf_minimal(_manual_pdf(b"BT <48656C6C6F21> Tj ET"))
+    assert [s["text"] for s in ir["pages"][0]["spans"]] == ["Hello!"]
+
+
+def test_stream_containing_endobj_bytes_not_truncated():
+    """Stream data may contain the byte sequence 'endobj' (e.g. a PDF
+    about PDF syntax): the sequential object scan must jump over the
+    declared stream extent instead of truncating at the first match."""
+    content = b"BT (mentions endobj and 9 0 obj inside) Tj ET"
+    ir = decode_pdf_minimal(_manual_pdf(content))
+    assert [s["text"] for s in ir["pages"][0]["spans"]] == [
+        "mentions endobj and 9 0 obj inside"
+    ]
+
+
+def test_mixed_vertical_horizontal_document():
+    """A horizontal page with INHERITED resources in a document that also
+    contains an Identity-V font must NOT be flagged vertical: vertical
+    detection resolves the page's own resource scope (own dict or /Parent
+    chain), never the whole document."""
+    import zlib as _z
+
+    from docling_japanese_books_spark.extraction.pdf_bytes import (
+        _page_is_vertical,
+        _objects,
+    )
+
+    vert = b"BT /F1 12 Tf 1 0 0 1 500 100 Tm <30423044> Tj ET"  # vertical page
+    horiz = b"BT /F1 12 Tf 1 0 0 1 72 100 Tm (left) Tj 100 0 Td (right) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        # page tree carries the INHERITED (horizontal) font resources
+        b"<< /Type /Pages /Kids [5 0 R 6 0 R] /Count 2"
+        b" /Resources << /Font << /F1 4 0 R >> >> >>",
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-V >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 7 0 R"
+        b" /Resources << /Font << /F1 3 0 R >> >> >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 8 0 R >>",
+        b"<< /Length " + str(len(_z.compress(vert))).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + _z.compress(vert) + b"\nendstream",
+        b"<< /Length " + str(len(_z.compress(horiz))).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + _z.compress(horiz) + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for num, body in enumerate(objs, start=1):
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n"
+    payload = bytes(out)
+    parsed = _objects(payload)
+    assert _page_is_vertical(parsed[5], parsed) is True
+    assert _page_is_vertical(parsed[6], parsed) is False
+    ir = decode_pdf_minimal(payload)
+    assert all(s.get("vertical") for s in ir["pages"][0]["spans"])
+    assert not any(s.get("vertical") for s in ir["pages"][1]["spans"])
+    # horizontal page keeps left-to-right order ("left" precedes "right")
+    assert reconstruct_reading_order(ir).splitlines()[-2:] == ["left", "right"]
+    assert [s["text"] for s in ir["pages"][1]["spans"]] == ["left", "right"]

@@ -106,6 +106,21 @@ def test_rerun_is_idempotent(spark, out_dir):
     assert spark.read.parquet(f"{out_dir}/data").count() == before
 
 
+def test_empty_buckets_do_not_crash(spark, out_dir):
+    """A wave whose buckets all have zero input rows is legal (n_buckets
+    can exceed the distinct-url count): the Observation sum returns null
+    for those buckets and rows_in must coalesce to 0, not TypeError."""
+    pages = generate_pages(spark, 3, seed=5)  # 3 urls across 64 buckets
+    r = run_extraction_pipeline(
+        spark, pages, out_dir, run_id="e", n_buckets=64, wave_size=8
+    )
+    assert r.rows_out == 3
+    m = read_manifest(spark, out_dir)
+    assert m.count() == 64
+    assert m.agg(F.sum("rows_in").alias("s")).collect()[0].s == 3
+    assert m.filter("rows_in < 0").count() == 0
+
+
 def test_pdf_corpus_pipeline(spark, out_dir):
     """Real PDF byte streams through the resumable pipeline: pages whose
     payload is genuine PDF bytes (writer in extraction/pdf_bytes) extract

@@ -100,3 +100,28 @@ def test_warc_to_extraction_pipeline_end_to_end(spark, tmp_path):
     assert "home" not in one.text  # nav boilerplate stripped
     m = read_manifest(spark, str(out))
     assert m.count() == 4 and m.filter("rows_in <> rows_out").count() == 0
+
+
+def test_content_length_plus_chunked_te_wins():
+    """RFC 7230 §3.3.3: when Content-Length and Transfer-Encoding: chunked
+    are both present (real servers do this), chunked wins — truncating at
+    Content-Length first corrupted and silently dropped the record."""
+    html = _html(5)
+    body = f"{len(html):x}".encode() + b"\r\n" + html + b"\r\n0\r\n\r\n"
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        + f"Content-Length: {len(html)}\r\n".encode()  # lies vs chunked body
+        + b"Transfer-Encoding: chunked\r\n\r\n"
+        + body
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://both.com/\r\n"
+        b"WARC-Date: 2024-03-01T12:00:00Z\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        + http
+        + b"\r\n\r\n"
+    )
+    rows = list(parse_warc(rec))
+    assert len(rows) == 1 and rows[0]["html"] == html
