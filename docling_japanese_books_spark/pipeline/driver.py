@@ -30,7 +30,7 @@ from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Optional, Sequence
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -46,6 +46,10 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("blocks_dropped", T.LongType(), False),
         T.StructField("parse_failures", T.LongType(), False),
         T.StructField("wall_ms", T.LongType(), False),
+        # Iceberg-style snapshot log: one monotonically increasing id per
+        # run; the latest entry per bucket defines the CURRENT table, and
+        # `read_snapshot(as_of=...)` time-travels to any earlier state
+        T.StructField("snapshot", T.LongType(), False),
     ]
 )
 
@@ -55,6 +59,7 @@ class PipelineResult:
     buckets_processed: List[int]
     buckets_skipped: List[int]
     rows_out: int
+    snapshot: int = 0
 
 
 def _manifest_path(output_dir: str) -> str:
@@ -135,6 +140,8 @@ def run_extraction_pipeline(
     wave_size: int = 8,
     max_waves: Optional[int] = None,
     extractor=None,
+    versioned: bool = False,
+    reprocess: Optional[Sequence[int]] = None,
 ) -> PipelineResult:
     """Extract main content for every page, resumable per bucket.
 
@@ -143,13 +150,31 @@ def run_extraction_pipeline(
     — default is the HTML boilerplate strip; pass ``extract_pdf_pages`` for
     a PDF corpus. ``max_waves`` exists for tests (simulate a killed run by
     stopping after N waves); production leaves it None.
+
+    ``versioned=True`` gives the output Iceberg-style snapshot semantics on
+    plain parquet: data is partitioned by (bucket, run_id) so dynamic
+    overwrite replaces only THIS run's partitions and every earlier run's
+    data stays immutable on disk; the manifest is the snapshot log (one
+    monotonically increasing ``snapshot`` id per run, latest entry per
+    bucket = current table). Read with ``read_snapshot`` (current or
+    ``as_of=`` an earlier snapshot id). ``reprocess`` lists buckets to redo
+    even though the manifest marks them done (re-crawl / fixed extractor):
+    in versioned mode that creates a new snapshot without destroying the
+    old one.
     """
     extractor = extractor or _extract_html
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     done = completed_buckets(spark, output_dir)
-    pending = [b for b in range(n_buckets) if b not in done]
+    redo = {int(b) for b in (reprocess or ())}
+    pending = [b for b in range(n_buckets) if b not in done or b in redo]
+
+    m0 = read_manifest(spark, output_dir)
+    prev_snap = 0
+    if m0 is not None and "snapshot" in m0.columns:
+        prev_snap = int(m0.agg(F.max("snapshot")).collect()[0][0] or 0)
+    snapshot = prev_snap + 1
 
     pages_b = pages.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
 
@@ -180,11 +205,17 @@ def run_extraction_pipeline(
             ],
         )
         extracted = extractor(sub)
-        # dynamic overwrite: only the buckets present in `extracted` are
-        # replaced; a rerun of the same wave is idempotent.
-        extracted.write.partitionBy("bucket").mode("overwrite").parquet(
-            _data_path(output_dir)
-        )
+        # dynamic overwrite: only the partitions present in `extracted` are
+        # replaced; a rerun of the same wave is idempotent. Versioned mode
+        # adds run_id to the partitioning, so older runs' data is immutable.
+        if versioned:
+            extracted.withColumn("run_id", F.lit(run_id)).write.partitionBy(
+                "bucket", "run_id"
+            ).mode("overwrite").parquet(_data_path(output_dir))
+        else:
+            extracted.write.partitionBy("bucket").mode("overwrite").parquet(
+                _data_path(output_dir)
+            )
         wall_ms = int((time.time() - t0) * 1000)
 
         # the write action above populated the observation; a sum over an
@@ -200,6 +231,8 @@ def run_extraction_pipeline(
             committed = spark.read.parquet(_data_path(output_dir)).filter(
                 F.col("bucket").isin([int(b) for b in wave])
             )
+            if versioned:  # stats for THIS run's data only
+                committed = committed.filter(F.col("run_id") == run_id)
             stats = (
                 committed.groupBy("bucket")
                 .agg(
@@ -232,6 +265,7 @@ def run_extraction_pipeline(
                     int(r.blocks_dropped) if r else 0,
                     int(r.parse_failures) if r else 0,
                     wall_ms,
+                    snapshot,
                 )
             )
             total_rows_out += int(r.rows_out) if r else 0
@@ -242,6 +276,54 @@ def run_extraction_pipeline(
 
     return PipelineResult(
         buckets_processed=processed,
-        buckets_skipped=sorted(done),
+        buckets_skipped=sorted(done - redo),
         rows_out=total_rows_out,
+        snapshot=snapshot,
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, output_dir: str, as_of: Optional[int] = None
+) -> DataFrame:
+    """Read a versioned table at a snapshot: the CURRENT state by default,
+    or the state as of an earlier ``snapshot`` id (time travel).
+
+    The manifest is the snapshot log: for each bucket, the entry with the
+    highest snapshot <= as_of names the (bucket, run_id) data partition
+    that was live then. The selection is a tiny broadcast join against the
+    two partition columns, so dynamic partition pruning keeps the scan to
+    exactly the live partitions."""
+    m = read_manifest(spark, output_dir)
+    if m is None or "snapshot" not in m.columns:
+        raise ValueError(f"no snapshot manifest at {output_dir}")
+    if as_of is not None:
+        m = m.filter(F.col("snapshot") <= int(as_of))
+    w = Window.partitionBy("bucket").orderBy(F.desc("snapshot"))
+    live = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("bucket", "run_id")
+    )
+    data = spark.read.parquet(_data_path(output_dir))
+    if "run_id" not in data.columns:
+        raise ValueError(
+            f"{output_dir} is not a versioned table (run versioned=True)"
+        )
+    return data.join(F.broadcast(live), ["bucket", "run_id"])
+
+
+def snapshots(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The snapshot log: one row per snapshot with its run lineage and
+    aggregate metrics (what Iceberg surfaces as the snapshots table)."""
+    m = read_manifest(spark, output_dir)
+    if m is None or "snapshot" not in m.columns:
+        raise ValueError(f"no snapshot manifest at {output_dir}")
+    return (
+        m.groupBy("snapshot", "run_id", "source")
+        .agg(
+            F.count("*").alias("buckets"),
+            F.sum("rows_out").alias("rows_out"),
+            F.sum("parse_failures").alias("parse_failures"),
+        )
+        .orderBy("snapshot")
     )

@@ -166,6 +166,82 @@ def test_pdf_corpus_pipeline(spark, out_dir):
     assert m.agg(F.sum("rows_in").alias("s")).collect()[0].s == 61
 
 
+def test_versioned_snapshots_and_time_travel(spark, out_dir):
+    """Iceberg-style semantics on plain parquet: versioned runs keep every
+    snapshot's data immutable under (bucket, run_id) partitions, the
+    manifest is the snapshot log, read_snapshot() serves the current state
+    and as_of= time-travels to any earlier snapshot; a re-crawl
+    (reprocess=) creates a new snapshot without destroying the old one."""
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.pipeline.driver import (
+        read_snapshot,
+        snapshots,
+    )
+
+    pages_v1 = generate_pages(spark, 100, seed=11)
+    r1 = run_extraction_pipeline(
+        spark, pages_v1, out_dir, run_id="crawl1", n_buckets=4, wave_size=4,
+        versioned=True,
+    )
+    assert r1.snapshot == 1
+
+    # re-crawl: same urls, changed content (simulate with a marker suffix)
+    pages_v2 = pages_v1.withColumn(
+        "html", F.concat(F.col("html"), F.lit(b""))
+    ).withColumn("lang", F.lit("xx"))
+    r2 = run_extraction_pipeline(
+        spark, pages_v2, out_dir, run_id="crawl2", n_buckets=4, wave_size=4,
+        versioned=True, reprocess=range(4),
+    )
+    assert r2.snapshot == 2 and len(r2.buckets_processed) == 4
+
+    cur = read_snapshot(spark, out_dir)
+    old = read_snapshot(spark, out_dir, as_of=1)
+    assert cur.count() == 100 and old.count() == 100
+    # current state is crawl2, snapshot 1 still serves crawl1's data
+    assert {r.run_id for r in cur.select("run_id").distinct().collect()} == {"crawl2"}
+    assert {r.run_id for r in old.select("run_id").distinct().collect()} == {"crawl1"}
+    assert cur.filter("lang = 'xx'").count() == 100
+    assert old.filter("lang = 'xx'").count() == 0
+    # both snapshots' data exist on disk simultaneously (immutability)
+    raw = spark.read.parquet(f"{out_dir}/data")
+    assert raw.count() == 200
+
+    log = snapshots(spark, out_dir).collect()
+    assert [(r.snapshot, r.run_id, r.buckets) for r in log] == [
+        (1, "crawl1", 4),
+        (2, "crawl2", 4),
+    ]
+
+
+def test_versioned_partial_recrawl_merges_snapshots(spark, out_dir):
+    """Reprocessing a SUBSET of buckets: the current snapshot serves new
+    data for redone buckets and the previous run's data for the rest."""
+    from docling_japanese_books_spark.pipeline.driver import read_snapshot
+
+    pages = generate_pages(spark, 100, seed=13)
+    run_extraction_pipeline(
+        spark, pages, out_dir, run_id="a", n_buckets=4, wave_size=4,
+        versioned=True,
+    )
+    run_extraction_pipeline(
+        spark, pages, out_dir, run_id="b", n_buckets=4, wave_size=4,
+        versioned=True, reprocess=[1, 2],
+    )
+    cur = read_snapshot(spark, out_dir)
+    assert cur.count() == 100  # no duplicates across snapshots
+    by_run = {
+        r.run_id: r.n
+        for r in cur.groupBy("run_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(by_run) == {"a", "b"}
+    buckets_b = {
+        r.bucket for r in cur.filter("run_id = 'b'").select("bucket").distinct().collect()
+    }
+    assert buckets_b == {1, 2}
+
+
 def test_extraction_output_byte_identical(spark, out_dir):
     pages = generate_pages(spark, 200, seed=42)
     run_extraction_pipeline(
