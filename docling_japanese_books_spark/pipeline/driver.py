@@ -297,6 +297,12 @@ def read_snapshot(
     if m is None or "snapshot" not in m.columns:
         raise ValueError(f"no snapshot manifest at {output_dir}")
     if as_of is not None:
+        if int(as_of) < _expiry_watermark(output_dir):
+            raise ValueError(
+                f"snapshot {as_of} expired (watermark "
+                f"{_expiry_watermark(output_dir)}): its data was removed "
+                f"by expire_snapshots"
+            )
         m = m.filter(F.col("snapshot") <= int(as_of))
     w = Window.partitionBy("bucket").orderBy(F.desc("snapshot"))
     live = (
@@ -310,6 +316,77 @@ def read_snapshot(
             f"{output_dir} is not a versioned table (run versioned=True)"
         )
     return data.join(F.broadcast(live), ["bucket", "run_id"])
+
+
+def _expiry_watermark_path(output_dir: str) -> Path:
+    return Path(output_dir) / "_expired_before"
+
+
+def _expiry_watermark(output_dir: str) -> int:
+    p = _expiry_watermark_path(output_dir)
+    try:
+        return int(p.read_text().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def expire_snapshots(
+    spark: SparkSession, output_dir: str, keep_last: int = 2
+) -> int:
+    """Iceberg-style snapshot expiry: drop the data partitions no kept
+    snapshot references, so versioned storage growth is bounded (at 100 TB
+    a re-crawl would otherwise double the table every run).
+
+    Keeps the last ``keep_last`` snapshots readable — for each kept
+    snapshot, the latest (bucket, run_id) entry per bucket stays on disk
+    (including entries older than the watermark that are still live for a
+    kept snapshot). Reads below the watermark raise in ``read_snapshot``.
+    Deletion is a driver-side directory remove per expired partition
+    (swap in the object-store delete API on a real cluster). Returns the
+    number of partitions deleted."""
+    import shutil
+
+    m = read_manifest(spark, output_dir)
+    if m is None or "snapshot" not in m.columns:
+        raise ValueError(f"no snapshot manifest at {output_dir}")
+    snaps = sorted(
+        r.snapshot for r in m.select("snapshot").distinct().collect()
+    )
+    if len(snaps) <= keep_last:
+        return 0
+    watermark = snaps[-keep_last]
+    # live = referenced by ANY kept snapshot. Kept snapshots are the
+    # suffix s >= watermark, so live = the table state AT the watermark
+    # (per-bucket latest entry with snapshot <= watermark — a bucket
+    # rewritten at the watermark makes its older entries dead) plus every
+    # entry written after it
+    w = Window.partitionBy("bucket").orderBy(F.desc("snapshot"))
+    state_at_watermark = (
+        m.filter(F.col("snapshot") <= watermark)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("bucket", "run_id")
+    )
+    live = {
+        (r.bucket, r.run_id)
+        for r in m.filter(F.col("snapshot") > watermark)
+        .select("bucket", "run_id")
+        .unionByName(state_at_watermark)
+        .distinct()
+        .collect()
+    }
+    all_pairs = {
+        (r.bucket, r.run_id)
+        for r in m.select("bucket", "run_id").distinct().collect()
+    }
+    deleted = 0
+    for bucket, run_id in sorted(all_pairs - live):
+        part = Path(_data_path(output_dir)) / f"bucket={bucket}" / f"run_id={run_id}"
+        if part.exists():
+            shutil.rmtree(part)
+            deleted += 1
+    _expiry_watermark_path(output_dir).write_text(str(watermark))
+    return deleted
 
 
 def snapshots(spark: SparkSession, output_dir: str) -> DataFrame:

@@ -242,6 +242,50 @@ def test_versioned_partial_recrawl_merges_snapshots(spark, out_dir):
     assert buckets_b == {1, 2}
 
 
+def test_expire_snapshots(spark, out_dir):
+    """Snapshot expiry bounds versioned storage: partitions no kept
+    snapshot references are deleted, kept snapshots (including carried-
+    forward buckets older than the watermark) stay byte-readable, and
+    reads below the watermark raise instead of silently serving a
+    partial table."""
+    import pytest as _pytest
+
+    from docling_japanese_books_spark.pipeline.driver import (
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    pages = generate_pages(spark, 80, seed=17)
+    run_extraction_pipeline(
+        spark, pages, out_dir, run_id="s1", n_buckets=4, wave_size=4,
+        versioned=True,
+    )
+    # s2 rewrites only buckets 0-1; buckets 2-3 stay owned by s1
+    run_extraction_pipeline(
+        spark, pages, out_dir, run_id="s2", n_buckets=4, wave_size=4,
+        versioned=True, reprocess=[0, 1],
+    )
+    run_extraction_pipeline(
+        spark, pages, out_dir, run_id="s3", n_buckets=4, wave_size=4,
+        versioned=True, reprocess=[0],
+    )
+
+    deleted = expire_snapshots(spark, out_dir, keep_last=2)
+    # kept snapshots {2,3}: at the watermark (2) buckets 0,1 are owned by
+    # s2 and buckets 2,3 by s1 — so s1's bucket-0 and bucket-1 partitions
+    # are dead (2 deletions), while s1's buckets 2,3 stay carried forward
+    assert deleted == 2
+
+    cur = read_snapshot(spark, out_dir)
+    assert cur.count() == 80
+    prev = read_snapshot(spark, out_dir, as_of=2)
+    assert prev.count() == 80  # carried-forward s1 buckets still readable
+    with _pytest.raises(ValueError, match="expired"):
+        read_snapshot(spark, out_dir, as_of=1)
+    # idempotent: nothing else to delete
+    assert expire_snapshots(spark, out_dir, keep_last=2) == 0
+
+
 def test_extraction_output_byte_identical(spark, out_dir):
     pages = generate_pages(spark, 200, seed=42)
     run_extraction_pipeline(
