@@ -50,19 +50,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_SMALL = max(1, CPUS // 16)
 N_BIG = N_SMALL * 4
-# 160k keeps the whole bench (7 fixed visits) under ~8 min on a quiet host;
-# docs/s and the efficiency ratio are corpus-size-normalized, so this stays
-# comparable with the 200k-page round-1/2 records
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "160000"))
-REPS_PER_VISIT = 2
+# 120k keeps the whole bench (6 fixed visits) under ~7 min with headroom
+# for host-noise bursts (a 160k/7-visit run measured 511 s quiet but blew a
+# 600 s budget under load); docs/s and the efficiency ratio are
+# corpus-size-normalized, so records stay comparable across rounds.
+# Rep sizing: for a MIN estimator under tens-of-seconds noise bursts, more
+# short reps beat fewer long ones (each rep is a fresh chance to land in a
+# clean window); the noise-sensitive fast config gets an extra rep.
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
+REPS_PER_VISIT = {"small": 2, "big": 3}
 # FIXED pre-declared visit schedule — never extended at runtime. (The
 # round-2 harness bought extra pairs only while efficiency < 0.8, an
-# optional-stopping rule that biases the reported number upward; the
-# schedule below bakes those extras in unconditionally instead.)
+# optional-stopping rule that biases the reported number upward; this
+# schedule is unconditional.)
 # Asymmetric: the small config measures stably (JVM noise is a small
 # fraction of its long runs); the fast config is the noise-sensitive one
-# and gets more samples. Alternation keeps host-load drift unbiased.
-VISIT_ORDER = ("small", "big", "big", "small", "big", "small", "big")
+# and gets twice the samples. Alternation keeps host-load drift unbiased.
+VISIT_ORDER = ("small", "big", "big", "small", "big", "big")
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -87,7 +91,9 @@ def log(msg: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def scaling_child(cores: int, pages_path: str, sync_file: str = "") -> None:
+def scaling_child(
+    cores: int, pages_path: str, sync_file: str = "", reps: int = 2
+) -> None:
     from docling_japanese_books_spark.session import get_spark
     from docling_japanese_books_spark.extraction.html import extract_pages
     from pyspark.sql import functions as F
@@ -121,7 +127,7 @@ def scaling_child(cores: int, pages_path: str, sync_file: str = "") -> None:
             time.sleep(0.05)
     n_docs = None
     times = []
-    for _ in range(REPS_PER_VISIT):
+    for _ in range(reps):
         t0 = time.time()
         rows = job()
         times.append(time.time() - t0)
@@ -130,7 +136,9 @@ def scaling_child(cores: int, pages_path: str, sync_file: str = "") -> None:
     spark.stop()
 
 
-def _child_cmd(cores: int, pages_path: str, pin: str, sync_file: str) -> list:
+def _child_cmd(
+    cores: int, pages_path: str, pin: str, sync_file: str, reps: int
+) -> list:
     cmd = [
         sys.executable,
         str(REPO / "bench.py"),
@@ -138,6 +146,7 @@ def _child_cmd(cores: int, pages_path: str, pin: str, sync_file: str) -> list:
         str(cores),
         pages_path,
         sync_file,
+        str(reps),
     ]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", pin] + cmd
@@ -156,6 +165,7 @@ def run_visit(cores: int, pages_path: str) -> dict:
     BEST instance's reps (conservative: the fastest instance sets the
     baseline the big config must scale against)."""
     n_instances = max(1, N_BIG // cores)
+    reps = REPS_PER_VISIT["big" if cores == N_BIG else "small"]
     sync_file = ""
     if n_instances > 1:
         sync_file = str(Path(tempfile.mkdtemp(prefix="bench_sync_")) / "go")
@@ -164,7 +174,7 @@ def run_visit(cores: int, pages_path: str) -> dict:
         pin = f"{i * cores}-{(i + 1) * cores - 1}"
         procs.append(
             subprocess.Popen(
-                _child_cmd(cores, pages_path, pin, sync_file),
+                _child_cmd(cores, pages_path, pin, sync_file, reps),
                 stdout=subprocess.PIPE,
                 stderr=subprocess.DEVNULL,
                 text=True,
@@ -241,7 +251,10 @@ def run_headline(spark) -> dict:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         scaling_child(
-            int(sys.argv[2]), sys.argv[3], sys.argv[4] if len(sys.argv) > 4 else ""
+            int(sys.argv[2]),
+            sys.argv[3],
+            sys.argv[4] if len(sys.argv) > 4 else "",
+            int(sys.argv[5]) if len(sys.argv) > 5 else 2,
         )
         return
 
@@ -256,7 +269,7 @@ def main() -> None:
         log(f"materializing {BENCH_PAGES} heavy pages -> {pages_path}")
         generate_pages(
             spark, BENCH_PAGES, seed=42, min_paras=10, max_paras=30
-        ).repartition(64).write.mode("overwrite").option(
+        ).repartition(128).write.mode("overwrite").option(
             "compression", "none"  # decode work steals pinned CPUs from the UDF
         ).parquet(pages_path)
 
@@ -287,6 +300,20 @@ def main() -> None:
         dps_big = n_docs / t_big
         eff = dps_big / (4.0 * dps_small)
 
+        # supplementary noise-inclusive estimate: the min estimator gives
+        # the clean-machine ratio but is high-variance on loud windows
+        # (the small fleet gets best-of-4-instances lottery draws the big
+        # config doesn't); the median ratio samples the same noise on both
+        # sides and is the steadier read when the window is busy
+        def median(xs):
+            s = sorted(xs)
+            mid = len(s) // 2
+            return s[mid] if len(s) % 2 else 0.5 * (s[mid - 1] + s[mid])
+
+        eff_median = (n_docs / median(samples[N_BIG])) / (
+            4.0 * (n_docs / median(samples[N_SMALL]))
+        )
+
         result = {
             "metric": "headline_queries_total_wall",
             "value": round(sum(times.values()), 3),
@@ -303,6 +330,7 @@ def main() -> None:
                 "docs_per_sec_small": round(dps_small, 1),
                 "docs_per_sec_big": round(dps_big, 1),
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_median": round(eff_median, 3),
                 "samples_small": [round(x, 2) for x in samples[N_SMALL]],
                 "samples_big": [round(x, 2) for x in samples[N_BIG]],
             },
