@@ -11,10 +11,20 @@ broadcast as plan literals.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.vectors import cosine
+
+
+def _stack(v: "pd.Series") -> "np.ndarray":
+    """Arrow hands an array<float> column as a Series of numpy arrays;
+    stack into a (batch, dim) float64 matrix (empty-safe)."""
+    if len(v) == 0:
+        return np.zeros((0, 1), dtype=np.float64)
+    return np.array([np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64)
 
 
 def topk_bruteforce(
@@ -52,49 +62,44 @@ def topk_bruteforce(
     )
 
 
-def _cell_assign_expr(vec: Column, cent_vecs: "np.ndarray", cent_norms: "np.ndarray") -> Column:
-    """argmax-cosine cell id as pure column algebra over literal centroids."""
+def _cell_assign_udf(cent_vecs: "np.ndarray", cent_norms: "np.ndarray"):
+    """argmax-cosine cell id as a vectorized pandas UDF.
 
-    def dot_literal(v: Column, plane) -> Column:
-        lit = F.array(*[F.lit(float(x)) for x in plane])
-        return F.aggregate(
-            F.zip_with(v, lit, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    The centroid matrix rides in the UDF closure (pickled once per task,
+    k x dim floats — KBs), so the Catalyst plan carries exactly ONE
+    expression node no matter how many cells or dimensions: at 64 cells x
+    1024 dims the former literal-array formulation emitted ~65k plan nodes
+    and died in analysis/codegen long before data volume mattered. One
+    batch matmul + argmax replaces k interpreted higher-order folds per row.
+    First-max tie order matches the old ``array_position(arr, array_max)``."""
+    unit = (cent_vecs / cent_norms[:, None]).astype(np.float64)
 
-    sims = [dot_literal(vec, c) / float(n) for c, n in zip(cent_vecs, cent_norms)]
-    arr = F.array(*sims)
-    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    @F.pandas_udf(T.IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        sims = _stack(v) @ unit.T
+        return pd.Series(sims.argmax(axis=1).astype(np.int32)) if len(v) else pd.Series([], dtype="int32")
+
+    return assign
 
 
-def _probe_cells_expr(
-    vec: Column, cent_vecs: "np.ndarray", cent_norms: "np.ndarray", n_probe: int
-) -> Column:
-    """Top-``n_probe`` nearest cell ids as column algebra: similarity to
-    every literal centroid, sort (sim, cell) structs descending, slice.
-    Keeps probe selection executor-side so the query frame is never
-    collected to the driver."""
+def _probe_cells_udf(
+    cent_vecs: "np.ndarray", cent_norms: "np.ndarray", n_probe: int
+):
+    """Top-``n_probe`` nearest cell ids as a vectorized pandas UDF (same
+    closure-broadcast centroid matrix as :func:`_cell_assign_udf`). Probe
+    selection stays executor-side so the query frame is never collected to
+    the driver. Ties break toward the lower cell id (stable argsort)."""
+    unit = (cent_vecs / cent_norms[:, None]).astype(np.float64)
 
-    def dot_literal(v: Column, plane) -> Column:
-        lit = F.array(*[F.lit(float(x)) for x in plane])
-        return F.aggregate(
-            F.zip_with(v, lit, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        sims = _stack(v) @ unit.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
 
-    pairs = F.array(
-        *[
-            F.struct(
-                (dot_literal(vec, c) / float(n)).alias("s"),
-                F.lit(i).cast("int").alias("c"),
-            )
-            for i, (c, n) in enumerate(zip(cent_vecs, cent_norms))
-        ]
-    )
-    top = F.slice(F.reverse(F.array_sort(pairs)), 1, n_probe)
-    return F.transform(top, lambda p: p["c"])
+    return probes
 
 
 def train_centroids(
@@ -124,7 +129,7 @@ def train_centroids(
         norms = np.linalg.norm(cents, axis=1)
         norms[norms == 0] = 1.0
         assigned = corpus.withColumn(
-            "_cell", _cell_assign_expr(F.col(vec_col), cents, norms)
+            "_cell", _cell_assign_udf(cents, norms)(F.col(vec_col))
         )
         # per-cell per-dimension means via posexplode + groupBy(cell, dim):
         # avg is partially aggregatable, so the shuffle carries only
@@ -165,11 +170,12 @@ def topk_ivf(
     Centroids are a deterministic sample (first n_cells corpus vectors by
     id) — a kmeans stand-in that keeps the operator dependency-free; swap in
     trained centroids without touching the plan. Cell assignment AND probe
-    selection are pure column algebra over the literal centroids (dot to
-    each centroid; argmax for the corpus cell, top-n_probe sort for the
-    query's probe list) — the query side is never collected to the driver,
-    so ``queries`` may be a full table, not just a search batch. Drop the
-    broadcast hints if the query side outgrows broadcast size.
+    selection are vectorized pandas UDFs carrying the centroid matrix in
+    their closure (one batch matmul + argmax / stable top-n_probe argsort
+    per Arrow batch; plan size is O(1) in cells x dims) — the query side is
+    never collected to the driver, so ``queries`` may be a full table, not
+    just a search batch. Drop the broadcast hints if the query side
+    outgrows broadcast size.
 
     Scale: corpus never moves — the only join is corpus ⋈ broadcast(probe
     pairs) on the cell id, then per-query rank. Recall grows with n_probe
@@ -192,14 +198,22 @@ def topk_ivf(
     cent_norms[cent_norms == 0] = 1.0
 
     c = corpus.withColumn(
-        "_cell", _cell_assign_expr(F.col(vec_col), cent_vecs, cent_norms)
+        "_cell", _cell_assign_udf(cent_vecs, cent_norms)(F.col(vec_col))
     )
 
-    probes = queries.select(
-        F.col(query_id),
-        F.explode(
-            _probe_cells_expr(F.col(vec_col), cent_vecs, cent_norms, n_probe)
-        ).alias("_cell"),
+    # materialize the probe array in its own projection, then explode_outer
+    # + null-filter: a plain explode over a deterministic UDF makes Catalyst
+    # inject a size()>0 pre-filter that re-evaluates the UDF (pinned by
+    # tests/test_plans.py for the chunkers; same shape here)
+    probes = (
+        queries.select(
+            F.col(query_id),
+            _probe_cells_udf(cent_vecs, cent_norms, n_probe)(
+                F.col(vec_col)
+            ).alias("_cells"),
+        )
+        .select(F.col(query_id), F.explode_outer("_cells").alias("_cell"))
+        .filter(F.col("_cell").isNotNull())
     )
     qvecs = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
 
@@ -218,25 +232,29 @@ def topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> list:
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> "np.ndarray":
     rng = np.random.RandomState(seed)
-    return rng.randn(n_planes, dim).astype(np.float64).tolist()
+    return rng.randn(n_planes, dim).astype(np.float64)
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
-    """Pack sign(v . plane_i) bits into a bucket id — pure column algebra:
-    the planes are literal arrays folded into the plan (broadcast by value)."""
+    """Pack sign(v . plane_i) bits into a bucket id — a vectorized pandas
+    UDF whose (n_planes x dim) plane matrix rides in the closure: one
+    matmul + sign-bit pack per Arrow batch, a single plan node regardless
+    of dimensionality (the former literal-array formulation emitted
+    n_planes x dim plan literals and n_planes interpreted folds per row).
+    Planes are deterministic (seeded numpy)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        d = F.aggregate(
-            F.zip_with(vec, plane, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.LongType())
+    def bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        bits = (_stack(v) @ planes.T) >= 0
+        return pd.Series((bits.astype(np.int64) @ weights).astype(np.int64))
+
+    return bucket(vec)
 
 
 def topk_lsh(
@@ -259,14 +277,24 @@ def topk_lsh(
     bits (the nearest neighboring half-spaces). Multi-probe multiplies the
     query side only — the corpus is bucketed once and never moves."""
     c = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
-    base_bucket = lsh_bucket(F.col(vec_col), dim, n_planes, seed)
+    # bucket UDF evaluated ONCE per query row in its own projection; the
+    # XOR probe fan-out then references the materialized column (cheap
+    # bit ops), never re-running the UDF per probe
+    base = F.col("_b0")
     probes = F.array(
-        base_bucket, *[base_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_probe_bits)]
+        base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(n_probe_bits)]
     )
-    q = queries.select(
-        F.col(query_id),
-        F.col(vec_col).alias("_qvec"),
-        F.explode(probes).alias("_bucket"),
+    q = (
+        queries.select(
+            F.col(query_id),
+            F.col(vec_col).alias("_qvec"),
+            lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("_b0"),
+        )
+        .select(
+            F.col(query_id),
+            F.col("_qvec"),
+            F.explode(probes).alias("_bucket"),
+        )
     )
     scored = c.join(F.broadcast(q), "_bucket").select(
         query_id,

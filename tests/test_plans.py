@@ -130,6 +130,39 @@ def test_asof_join_is_join_free(plans):
     assert "Window" in p
 
 
+def test_ivf_plan_size_independent_of_cells_and_dims(spark):
+    # centroids ride in the pandas-UDF closure, NOT the plan: a 64-cell
+    # 512-dim index must produce the same-shaped plan as a 4-cell 8-dim
+    # one (the round-3 literal-array formulation emitted ~cells x dims
+    # plan nodes and died in Catalyst analysis at production sizes)
+    import numpy as np
+    from pyspark.sql import functions as F
+    from docling_japanese_books_spark.operators.similarity import topk_ivf
+
+    def plan_len(n_cells: int, dim: int) -> int:
+        rng = np.random.RandomState(0)
+        cents = rng.randn(n_cells, dim)
+        # dim-sized vectors built from sequence(), NOT literals, so the
+        # fixture itself contributes O(1) plan text
+        vec = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (i + F.col("id")).cast("float"),
+        )
+        qdf = spark.range(2).select(
+            F.col("id").alias("query_id"), vec.alias("embedding")
+        )
+        cdf = spark.range(10).select(
+            F.col("id").alias("vec_id"), vec.alias("embedding")
+        )
+        out = topk_ivf(
+            qdf, cdf, dim=dim, k=3, n_cells=n_cells, n_probe=2, centroids=cents
+        )
+        return len(out._jdf.queryExecution().optimizedPlan().toString())
+
+    small, big = plan_len(4, 8), plan_len(64, 512)
+    assert big < small + 2_000, f"plan grew with cells x dims: {small} -> {big}"
+
+
 def test_interval_join_is_equi_join(plans):
     # bucketized layout: hash-join on (key, bucket), never a nested-loop
     # range join or cartesian product
