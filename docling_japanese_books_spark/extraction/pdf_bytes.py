@@ -442,7 +442,11 @@ def _extract_spans(content: bytes, two_byte: bool = False) -> List[dict]:
     size = 12.0
 
     def show(s: str) -> None:
-        t = s.strip()
+        # strip ASCII whitespace ONLY: Python str.strip() also removes
+        # Unicode whitespace (U+3000 ideographic space — plausible CJK
+        # content), which would silently drop a span the roundtrip oracle's
+        # ASCII-\s normalization keeps
+        t = s.strip(" \t\r\n\x0c\x0b")
         if t:
             spans.append({"x": tx, "y": -ty, "text": t, "size": size})
 

@@ -176,6 +176,30 @@ def run_extraction_pipeline(
         prev_snap = int(m0.agg(F.max("snapshot")).collect()[0][0] or 0)
     snapshot = prev_snap + 1
 
+    # snapshot immutability guard: in versioned mode a (bucket, run_id)
+    # data partition already recorded in the manifest is referenced by an
+    # earlier snapshot — rewriting it would make read_snapshot(as_of=older)
+    # silently serve new data. Resuming a KILLED run with the same run_id
+    # stays legal: its pending buckets have no manifest entry yet.
+    if versioned and m0 is not None:
+        clash = sorted(
+            r.bucket
+            for r in m0.filter(
+                (F.col("run_id") == run_id)
+                & F.col("bucket").isin([int(b) for b in pending])
+            )
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"run_id {run_id!r} already holds snapshot data for buckets "
+                f"{clash[:8]}{'...' if len(clash) > 8 else ''}; rewriting "
+                "those (bucket, run_id) partitions would corrupt time "
+                "travel — reprocess under a fresh run_id"
+            )
+
     pages_b = pages.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
 
     waves: List[Sequence[int]] = [
@@ -205,6 +229,20 @@ def run_extraction_pipeline(
             ],
         )
         extracted = extractor(sub)
+        # second observation: rows OUT per bucket, piggybacking on the same
+        # single write pass — needed below to clear stale non-versioned
+        # partitions when a redo produces zero rows (dynamic overwrite only
+        # replaces partitions present in the new output)
+        obs_out = Observation(f"wave_out_{wave[0]}")
+        extracted = extracted.observe(
+            obs_out,
+            *[
+                F.sum(F.when(F.col("bucket") == int(b), 1).otherwise(0))
+                .cast("long")
+                .alias(f"b_{int(b)}")
+                for b in wave
+            ],
+        )
         # dynamic overwrite: only the partitions present in `extracted` are
         # replaced; a rerun of the same wave is idempotent. Versioned mode
         # adds run_id to the partitioning, so older runs' data is immutable.
@@ -223,10 +261,28 @@ def run_extraction_pipeline(
         # are legal: n_buckets can exceed the distinct-url count)
         obs_metrics = obs.get
         rows_in = {int(b): int(obs_metrics[f"b_{int(b)}"] or 0) for b in wave}
+        out_counts = {int(b): int(obs_out.get[f"b_{int(b)}"] or 0) for b in wave}
+
+        # non-versioned mode: a bucket whose new extraction yields zero rows
+        # keeps its PRIOR partition on disk (dynamic overwrite never touches
+        # it) — clear it explicitly so the read-back below cannot count a
+        # previous run's rows as this run's output
+        if not versioned:
+            import shutil
+
+            for b in wave:
+                if out_counts[int(b)] == 0:
+                    stale = Path(_data_path(output_dir)) / f"bucket={int(b)}"
+                    if stale.exists():
+                        shutil.rmtree(stale)
 
         # metrics from the committed data (read-back = what downstream sees);
-        # an all-empty FIRST wave writes no files, so the data directory may
-        # not exist yet — those buckets are legitimately 0-row 'done'
+        # an all-empty FIRST wave writes no data files, so the directory may
+        # be absent or schema-less — catch ONLY AnalysisException (path not
+        # found / cannot infer schema), so a genuine read failure (transient
+        # FS error) propagates instead of silently zeroing lineage metrics
+        from pyspark.errors import AnalysisException
+
         try:
             committed = spark.read.parquet(_data_path(output_dir)).filter(
                 F.col("bucket").isin([int(b) for b in wave])
@@ -247,7 +303,7 @@ def run_extraction_pipeline(
                 )
                 .collect()
             )
-        except Exception:
+        except AnalysisException:
             stats = []
         by_bucket = {r.bucket: r for r in stats}
         manifest_rows = []
@@ -379,13 +435,16 @@ def expire_snapshots(
         (r.bucket, r.run_id)
         for r in m.select("bucket", "run_id").distinct().collect()
     }
+    # watermark BEFORE deletion: if the process dies mid-expiry, reads below
+    # the watermark fail fast ("expired") instead of silently serving a
+    # partial table from half-deleted partitions
+    _expiry_watermark_path(output_dir).write_text(str(watermark))
     deleted = 0
     for bucket, run_id in sorted(all_pairs - live):
         part = Path(_data_path(output_dir)) / f"bucket={bucket}" / f"run_id={run_id}"
         if part.exists():
             shutil.rmtree(part)
             deleted += 1
-    _expiry_watermark_path(output_dir).write_text(str(watermark))
     return deleted
 
 

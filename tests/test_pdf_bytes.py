@@ -42,6 +42,19 @@ def test_writer_decoder_roundtrip_cjk():
     assert _flatten(reconstruct_reading_order(ir)) == jp
 
 
+def test_ideographic_space_span_survives():
+    """A span consisting of U+3000 (ideographic space — plausible CJK
+    content) must survive decoding: the decoder strips ASCII whitespace
+    only. Python str.strip() would silently drop the span while the
+    roundtrip oracle's ASCII-\\s normalization keeps the 'word', breaking
+    text_match and the n_spans prediction."""
+    pdf = text_to_pdf("あ 　 い", words_per_line=1)  # one word per line
+    ir = decode_pdf_minimal(pdf)
+    texts = [s["text"] for p in ir["pages"] for s in p["spans"]]
+    assert texts == ["あ", "　", "い"]
+    assert _flatten(reconstruct_reading_order(ir)) == "あ 　 い"
+
+
 def test_writer_xref_offsets_are_exact():
     pdf = text_to_pdf("a b c")
     # every xref entry must point at "N 0 obj"

@@ -286,6 +286,105 @@ def test_expire_snapshots(spark, out_dir):
     assert expire_snapshots(spark, out_dir, keep_last=2) == 0
 
 
+def test_versioned_run_id_reuse_raises(spark, out_dir):
+    """Rewriting a (bucket, run_id) partition an earlier snapshot references
+    would silently corrupt time travel — reprocessing under an already-
+    recorded run_id must raise, while resuming a KILLED run with the same
+    run_id (pending buckets have no manifest entry) stays legal."""
+    pages = generate_pages(spark, 100, seed=19)
+    run_extraction_pipeline(
+        spark, pages, out_dir, run_id="r", n_buckets=4, wave_size=4,
+        versioned=True,
+    )
+    with pytest.raises(ValueError, match="corrupt time travel"):
+        run_extraction_pipeline(
+            spark, pages, out_dir, run_id="r", n_buckets=4, wave_size=4,
+            versioned=True, reprocess=[0],
+        )
+    # the guard did not damage the table
+    from docling_japanese_books_spark.pipeline.driver import read_snapshot
+
+    assert read_snapshot(spark, out_dir).count() == 100
+
+
+def test_versioned_killed_run_resumes_same_run_id(spark, out_dir):
+    pages = generate_pages(spark, 100, seed=23)
+    r1 = run_extraction_pipeline(
+        spark, pages, out_dir, run_id="k", n_buckets=4, wave_size=2,
+        max_waves=1, versioned=True,
+    )
+    assert len(r1.buckets_processed) == 2
+    # resume under the SAME run_id: only pending buckets are written, no
+    # recorded partition is rewritten, so the guard must not fire
+    r2 = run_extraction_pipeline(
+        spark, pages, out_dir, run_id="k", n_buckets=4, wave_size=2,
+        versioned=True,
+    )
+    assert sorted(r1.buckets_processed + r2.buckets_processed) == [0, 1, 2, 3]
+    from docling_japanese_books_spark.pipeline.driver import read_snapshot
+
+    assert read_snapshot(spark, out_dir).count() == 100
+
+
+def test_nonversioned_zero_row_reprocess_clears_stale_partition(spark, out_dir):
+    """Dynamic partition overwrite only replaces partitions present in the
+    new output: a redone bucket whose re-extraction yields ZERO rows must
+    have its prior partition cleared explicitly, or the read-back counts a
+    previous run's rows as this run's rows_out."""
+    pages = generate_pages(spark, 100, seed=29)
+    run_extraction_pipeline(
+        spark, pages, out_dir, run_id="full", n_buckets=4, wave_size=4
+    )
+    # re-crawl where every page of bucket 2 vanished from the input
+    pages2 = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(4))
+    ).filter("bucket <> 2").drop("bucket")
+    r = run_extraction_pipeline(
+        spark, pages2, out_dir, run_id="empty", n_buckets=4, wave_size=4,
+        reprocess=[2],
+    )
+    assert r.buckets_processed == [2] and r.rows_out == 0
+    data = spark.read.parquet(f"{out_dir}/data")
+    assert data.filter("bucket = 2").count() == 0  # stale rows cleared
+    m = read_manifest(spark, out_dir)
+    last = m.filter("run_id = 'empty'").collect()
+    assert len(last) == 1 and last[0].rows_out == 0 and last[0].rows_in == 0
+
+
+def test_expiry_watermark_survives_interrupted_delete(spark, out_dir, monkeypatch):
+    """The watermark is written BEFORE partitions are deleted: a crash
+    mid-expiry must leave expired reads failing fast ('expired'), never
+    silently serving a partial table from half-deleted partitions."""
+    import shutil as _shutil
+
+    from docling_japanese_books_spark.pipeline.driver import (
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    pages = generate_pages(spark, 80, seed=31)
+    for rid, redo in (("s1", None), ("s2", [0, 1]), ("s3", [0])):
+        run_extraction_pipeline(
+            spark, pages, out_dir, run_id=rid, n_buckets=4, wave_size=4,
+            versioned=True, reprocess=redo,
+        )
+
+    real_rmtree = _shutil.rmtree
+
+    def boom(path, *a, **kw):
+        raise OSError("simulated crash during partition delete")
+
+    monkeypatch.setattr(_shutil, "rmtree", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        expire_snapshots(spark, out_dir, keep_last=2)
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+
+    # nothing was deleted, but the watermark already gates expired reads
+    with pytest.raises(ValueError, match="expired"):
+        read_snapshot(spark, out_dir, as_of=1)
+    assert read_snapshot(spark, out_dir).count() == 80
+
+
 def test_extraction_output_byte_identical(spark, out_dir):
     pages = generate_pages(spark, 200, seed=42)
     run_extraction_pipeline(
