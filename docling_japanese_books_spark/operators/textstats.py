@@ -3,13 +3,21 @@ language-ID, quality scoring, token counting, fingerprinting).
 
 Everything is JVM-side column algebra (regexp_count / length arithmetic)
 so it rides whole-stage codegen — these run over every document of a
-100 TB corpus, and a Python UDF here would dominate the job.
+100 TB corpus, and a Python UDF here would dominate the job. The one
+exception is ``top_word_fraction``: a token histogram has no sub-quadratic
+column-algebra form, so it is an Arrow-batched pandas UDF (one Counter per
+document, O(tokens) per row).
 """
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .normalize import normalize_cjk_udf  # noqa: F401  (re-export for pipelines)
 
@@ -129,17 +137,31 @@ def duplicate_line_fraction(col: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java/RE2 \s — NOT Python's
+# Unicode \s, so Spark, DuckDB, and this UDF tokenize identically
+
+
+@F.pandas_udf(T.DoubleType())
+def _top_word_fraction_udf(s: "pd.Series") -> "pd.Series":
+    out = []
+    for text in s:
+        if not text:
+            out.append(0.0)
+            continue
+        toks = [t for t in _ASCII_WS.split(text.lower()) if t]
+        if not toks:
+            out.append(0.0)
+            continue
+        (_, top), = Counter(toks).most_common(1)
+        out.append(top / len(toks))
+    return pd.Series(out, dtype="float64")
+
+
 def top_word_fraction(col: Column) -> Column:
     """Fraction of tokens taken by the single most frequent token (another
-    Gopher-style repetition rule). aggregate over the distinct tokens,
-    counting each one's occurrences — O(distinct x tokens) interpreted,
-    fine as a projection; hot paths swap in a pandas UDF."""
-    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
-    n = F.size(toks)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda w: F.size(F.filter(toks, lambda t: t == w)),
-        )
-    )
-    return F.when(n > 0, top.cast("double") / n).otherwise(F.lit(0.0))
+    Gopher-style repetition rule) — one ``Counter`` per document inside an
+    Arrow-batched pandas UDF, O(tokens) per row. The former higher-order
+    ``transform(array_distinct, filter-count)`` formulation was
+    O(distinct x tokens) *interpreted* per row: a long adversarial document
+    with many distinct tokens made a single projection quadratic-ish."""
+    return _top_word_fraction_udf(col)

@@ -148,3 +148,23 @@ def test_repetition_rules(spark):
     assert abs(out[2].tw - 0.75) < 1e-9
     assert out[3].dl == 0.0 and out[3].tw == 0.0
     assert out[4].dl == 0.0
+
+
+def test_top_word_fraction_adversarial_many_distinct_tokens(spark):
+    """A long document with ~100k distinct tokens: the Counter-based UDF is
+    O(tokens) per row — the former interpreted higher-order formulation was
+    O(distinct x tokens) and would take hours on this input."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.operators.textstats import top_word_fraction
+
+    n = 100_000
+    text = " ".join(f"tok{i}" for i in range(n)) + " tok0"  # tok0 twice
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = time.time()
+    out = df.select(top_word_fraction(F.col("text")).alias("tw")).collect()
+    wall = time.time() - t0
+    assert abs(out[0].tw - 2 / (n + 1)) < 1e-12
+    assert wall < 30, f"top_word_fraction took {wall:.1f}s on 100k distinct tokens"
