@@ -227,8 +227,14 @@ def _objects(payload: bytes) -> Dict[int, bytes]:
     return objs
 
 
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+
+
 def _stream_data(body: bytes) -> bytes:
-    """Stream bytes of an object, FlateDecode-decompressed if declared."""
+    """Stream bytes of an object, decoded through its declared /Filter
+    chain — FlateDecode and ASCIIHexDecode, applied in array order per the
+    spec (PDF 32000-1:2008 §7.4). Unknown filters raise (rejected, never
+    mis-read)."""
     at = body.find(b"stream")
     if at < 0:
         return b""
@@ -242,11 +248,22 @@ def _stream_data(body: bytes) -> bytes:
         data = body[start : start + int(m.group(1))]
     else:
         data = body[start : body.rfind(b"endstream")].rstrip(b"\r\n")
-    head = body[:at]
-    if b"/FlateDecode" in head:
-        return zlib.decompress(data)
-    if b"/Filter" in head:
-        raise ValueError("unsupported stream filter (only FlateDecode)")
+    fm = _FILTER_RE.search(body[:at])
+    names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1)) if fm else []
+    for name in names:
+        if name == b"ASCIIHexDecode":
+            # whitespace is ignored, '>' is EOD, odd final digit pads with 0
+            hx = re.sub(rb"\s", b"", data)
+            eod = hx.find(b">")
+            if eod >= 0:
+                hx = hx[:eod]
+            if len(hx) % 2:
+                hx += b"0"
+            data = bytes.fromhex(hx.decode("ascii"))
+        elif name == b"FlateDecode":
+            data = zlib.decompress(data)
+        else:
+            raise ValueError(f"unsupported stream filter /{name.decode('ascii')}")
     return data
 
 
