@@ -50,10 +50,11 @@ def fake_decode(payload: bytes) -> dict:
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real decode path: PNGs decode pure-Python (multimodal/png_codec —
-    real pixels, real features, no PIL needed); other formats go through
-    PIL when installed, else raise. Corrupt/out-of-subset PNG bytes raise
-    ValueError — extract_image_features isolates that per row."""
+    """Real decode path: PNGs and baseline JPEGs decode pure-Python
+    (multimodal/png_codec, multimodal/jpeg_codec — real pixels, real
+    features, no PIL needed); other formats go through PIL when installed,
+    else raise. Corrupt/out-of-subset bytes raise ValueError —
+    extract_image_features isolates that per row."""
     from .png_codec import PNG_SIGNATURE, image_features, png_to_pixels
 
     if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
@@ -64,13 +65,24 @@ def decode_image_real(payload: bytes) -> dict:
             format="png",
             feature=image_features(px),
         )
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        from .jpeg_codec import jpeg_to_pixels
+
+        px = jpeg_to_pixels(payload)
+        return dict(
+            width=int(px.shape[1]),
+            height=int(px.shape[0]),
+            format="jpeg",
+            feature=image_features(px),
+        )
     try:
         import io
 
         from PIL import Image  # type: ignore
     except ImportError as ex:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "non-PNG decode requires PIL; PNGs decode pure-Python"
+            "non-PNG/JPEG decode requires PIL; PNG and baseline JPEG "
+            "decode pure-Python"
         ) from ex
     img = Image.open(io.BytesIO(payload))
     return dict(

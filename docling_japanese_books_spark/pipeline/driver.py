@@ -338,6 +338,24 @@ def run_extraction_pipeline(
     )
 
 
+def live_partitions(manifest: DataFrame, as_of: Optional[int] = None) -> DataFrame:
+    """The snapshot-log selection at the heart of time travel: for each
+    bucket, the manifest entry with the highest snapshot <= ``as_of``
+    (all snapshots when None) names the (bucket, run_id) data partition
+    live at that point. Returns (bucket, run_id, snapshot) — exposed
+    standalone so the algebra is oracle-checkable (`snapshot_time_travel`
+    query) independent of any on-disk table."""
+    m = manifest
+    if as_of is not None:
+        m = m.filter(F.col("snapshot") <= int(as_of))
+    w = Window.partitionBy("bucket").orderBy(F.desc("snapshot"))
+    return (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("bucket", "run_id", "snapshot")
+    )
+
+
 def read_snapshot(
     spark: SparkSession, output_dir: str, as_of: Optional[int] = None
 ) -> DataFrame:
@@ -352,20 +370,13 @@ def read_snapshot(
     m = read_manifest(spark, output_dir)
     if m is None or "snapshot" not in m.columns:
         raise ValueError(f"no snapshot manifest at {output_dir}")
-    if as_of is not None:
-        if int(as_of) < _expiry_watermark(output_dir):
-            raise ValueError(
-                f"snapshot {as_of} expired (watermark "
-                f"{_expiry_watermark(output_dir)}): its data was removed "
-                f"by expire_snapshots"
-            )
-        m = m.filter(F.col("snapshot") <= int(as_of))
-    w = Window.partitionBy("bucket").orderBy(F.desc("snapshot"))
-    live = (
-        m.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("bucket", "run_id")
-    )
+    if as_of is not None and int(as_of) < _expiry_watermark(output_dir):
+        raise ValueError(
+            f"snapshot {as_of} expired (watermark "
+            f"{_expiry_watermark(output_dir)}): its data was removed "
+            f"by expire_snapshots"
+        )
+    live = live_partitions(m, as_of).select("bucket", "run_id")
     data = spark.read.parquet(_data_path(output_dir))
     if "run_id" not in data.columns:
         raise ValueError(

@@ -497,3 +497,77 @@ def png_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.getField("height").alias("height"),
         F.round(e.getField("mean_px"), 6).alias("mean_px"),
     )
+
+
+@query(
+    "jpeg_pixel_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 16 AS INT) AS width,
+           CAST(8 + doc_id % 8 AS INT)  AS height,
+           round(CAST((doc_id * 37 + 11) % 256 AS DOUBLE) / 255.0, 6)
+             AS mean_uniform,
+           TRUE AS grad_close
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def jpeg_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under the driver gate (pure-Python codec,
+    multimodal/jpeg_codec; ref decodes arbitrary image data-URIs at
+    image_processor.py:159-183). Two images per doc:
+
+    - a UNIFORM gray image at quality 100: DC-only blocks with quant step
+      1 round-trip byte-exactly, so the decoded mean must equal the
+      analytic value to 6 decimals (hash-checked) — any defect in marker
+      parse, Huffman tables, dequant, or IDCT breaks it;
+    - a GRADIENT image at quality 90 exercising AC run-length coding and
+      byte stuffing: decoded mean must sit within 2 gray levels of the
+      analytic mean (lossy-bounded boolean, also hash-checked)."""
+    from ..multimodal.jpeg_codec import jpeg_to_pixels, pixels_to_jpeg
+
+    schema = T.StructType(
+        [
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("mean_uniform", T.DoubleType(), False),
+            T.StructField("grad_close", T.BooleanType(), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def roundtrip(doc_id: pd.Series) -> pd.DataFrame:
+        rows = []
+        for d in doc_id:
+            d = int(d)
+            w, h = 8 + d % 16, 8 + d % 8
+            v = (d * 37 + 11) % 256
+            uni = np.full((h, w), v, np.uint8)
+            back_u = jpeg_to_pixels(pixels_to_jpeg(uni, quality=100))
+            x, y = np.arange(w), np.arange(h)
+            grad = ((x[None, :] * 3 + y[:, None] * 5 + d) % 200).astype(np.uint8)
+            back_g = jpeg_to_pixels(pixels_to_jpeg(grad, quality=90))
+            rows.append(
+                dict(
+                    width=int(back_u.shape[1]),
+                    height=int(back_u.shape[0]),
+                    mean_uniform=float(back_u.astype(np.float64).mean() / 255.0),
+                    grad_close=bool(
+                        abs(
+                            back_g.astype(np.float64).mean()
+                            - grad.astype(np.float64).mean()
+                        )
+                        < 2.0
+                    ),
+                )
+            )
+        return pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    e = roundtrip(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        e.getField("width").alias("width"),
+        e.getField("height").alias("height"),
+        F.round(e.getField("mean_uniform"), 6).alias("mean_uniform"),
+        e.getField("grad_close").alias("grad_close"),
+    )

@@ -249,3 +249,39 @@ def doc_file_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", path.alias("path"), file_stem(path).alias("stem")
     )
+
+
+@query(
+    "snapshot_time_travel",
+    """
+    WITH m AS (
+      SELECT CAST(doc_id % 25 AS BIGINT) AS bucket,
+             CAST(1 + doc_id % 7 AS BIGINT) AS snapshot,
+             'r' || CAST(1 + doc_id % 7 AS VARCHAR) AS run_id
+      FROM documents),
+    cut AS (SELECT * FROM m WHERE snapshot <= 4),
+    r AS (
+      SELECT bucket, run_id, snapshot,
+             row_number() OVER (PARTITION BY bucket ORDER BY snapshot DESC)
+               AS rn
+      FROM cut)
+    SELECT bucket, run_id, snapshot FROM r WHERE rn = 1
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg-style snapshot-log selection behind read_snapshot(as_of)
+    (pipeline/driver.live_partitions): per bucket, the manifest entry with
+    the highest snapshot <= the as_of cut names the live (bucket, run_id)
+    partition. A synthetic snapshot log is derived from the documents table
+    (bucket = doc_id % 25, snapshot = 1 + doc_id % 7) and time-traveled to
+    as_of = 4; the oracle replays the gaps-and-islands window in SQL."""
+    from ..pipeline.driver import live_partitions
+
+    docs = t(spark, sf_dir, "documents")
+    snap = (1 + F.col("doc_id") % 7).cast("long")
+    manifest = docs.select(
+        (F.col("doc_id") % 25).cast("long").alias("bucket"),
+        snap.alias("snapshot"),
+        F.concat(F.lit("r"), snap.cast("string")).alias("run_id"),
+    )
+    return live_partitions(manifest, as_of=4)

@@ -86,3 +86,54 @@ def test_window_is_all_oracle_backed():
     oracles = entry.oracle_sql()
     prefix = names[: min(50, len(names))]
     assert all(n in oracles for n in prefix)
+
+
+def test_window_composition_is_pinned():
+    """The 50-slot window holds EXACTLY the oracle queries not in DEMOTED:
+    a registry addition that silently reshuffles the window (pushing a
+    unique-coverage query out) must trip this, not a grading round."""
+    names = list(entry.queries())
+    oracles = set(entry.oracle_sql())
+    window = set(names[:50])
+    expected = oracles - set(entry.DEMOTED)
+    assert len(expected) == 50, (
+        f"{len(expected)} non-demoted oracle queries for 50 slots — "
+        "rebalance DEMOTED when adding/removing oracle queries"
+    )
+    assert window == expected
+    # every demoted name really is a registered oracle query
+    assert set(entry.DEMOTED) <= oracles
+
+
+def test_demoted_surrogates_are_green_in_latest_correctness():
+    """Every demoted oracle query names in-window surrogates covering the
+    same shape; each surrogate must be GREEN (rows+schema+hash) in the
+    newest driver CORRECTNESS file. Automates away the round-2
+    doc_sha256 -> image_manifest stale-surrogate episode."""
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(entry.__file__).parent
+    files = sorted(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if not files:
+        pytest.skip("no CORRECTNESS file yet (round 1)")
+    latest = json.loads(files[-1].read_text())
+    green = {
+        n
+        for n, r in latest.items()
+        if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+    }
+    problems = {}
+    for demoted_name, surrogates in entry.DEMOTED.items():
+        assert surrogates, f"{demoted_name} demoted without surrogates"
+        missing = [s for s in surrogates if s not in green]
+        if missing:
+            problems[demoted_name] = missing
+    assert not problems, (
+        f"demoted queries whose surrogates are not green in {files[-1].name}: "
+        f"{problems}"
+    )
