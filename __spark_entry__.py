@@ -63,6 +63,8 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # unique coverage) promoted in; redundant-coverage greens out
     "top5_expensive_orders": ("q3_shipping_priority", "similarity_topk_batch"),
     "events_improvement_pct": ("events_type_stats", "doc_indicator_flags"),
+    # same deterministic md5-bucket assignment algebra, richer query
+    "doc_hash_split": ("doc_stratified_sample",),
 }
 
 

@@ -1,9 +1,12 @@
 """Audio/video as opaque binary columns: decode / frame-sample / resize
 plumbing (task brief). Same contract as images.py — the Spark-side shape
-(schemas, mapInPandas batching, per-row error isolation) is real; the
-codec work is a deterministic fake behind the same function slot a real
-ffmpeg/PIL-based decoder would fill (those libs aren't in this container;
-``decode_media_real`` raises NotImplementedError until they are).
+(schemas, mapInPandas batching, per-row error isolation) is real.
+Uncompressed WAV audio decodes for REAL (pure-Python RIFF codec in
+``wav_codec.py`` — samples, duration, windowed features); video and
+compressed audio remain a deterministic fake behind the same function
+slot a real ffmpeg-based decoder would fill (ffmpeg isn't in this
+container; that branch of ``decode_media_real`` raises
+NotImplementedError until it is).
 """
 
 from __future__ import annotations
@@ -68,10 +71,27 @@ def fake_decode_media(payload: bytes, n_samples: int = 4) -> dict:
     return out
 
 
-def decode_media_real(payload: bytes) -> dict:
-    """Real decode path — gated until ffmpeg/librosa are available."""
+def decode_media_real(payload: bytes, n_samples: int = 4) -> dict:
+    """Real decode path: uncompressed WAV audio decodes pure-Python
+    (multimodal/wav_codec — real samples, real windowed features, no
+    ffmpeg needed); other containers stay gated until ffmpeg bindings
+    exist. Corrupt/out-of-subset RIFF bytes raise ValueError —
+    extract_media_features isolates that per row."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from .wav_codec import audio_features, audio_windows, wav_to_samples
+
+        samples, rate = wav_to_samples(payload)
+        feats = audio_features(samples, rate)
+        return dict(
+            kind="audio",
+            duration_s=feats["duration_s"],
+            sample_rate=int(rate),
+            n_frames=None,
+            samples=audio_windows(samples, rate, n_samples),
+        )
     raise NotImplementedError(
-        "real audio/video decode requires ffmpeg bindings; use fake_decode_media"
+        "real video / compressed-audio decode requires ffmpeg bindings; "
+        "WAV decodes pure-Python, use fake_decode_media elsewhere"
     )
 
 

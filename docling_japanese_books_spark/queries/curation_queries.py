@@ -571,3 +571,65 @@ def jpeg_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(e.getField("mean_uniform"), 6).alias("mean_uniform"),
         e.getField("grad_close").alias("grad_close"),
     )
+
+
+@query(
+    "wav_audio_roundtrip",
+    """
+    SELECT doc_id,
+           round(CAST(800 + (doc_id % 5) * 160 AS DOUBLE) / 8000.0, 6)
+             AS duration_s,
+           CAST(8000 AS INT) AS sample_rate,
+           round(sqrt(list_aggregate(list_transform(
+                   range(0, CAST(800 + (doc_id % 5) * 160 AS BIGINT)),
+                   i -> pow((CAST((doc_id * 31 + i * 7) % 2001 AS DOUBLE)
+                             - 1000.0) / 32768.0, 2)),
+                 'avg')), 6) AS rms
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def wav_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the driver gate (pure-Python RIFF/WAVE
+    codec, multimodal/wav_codec): a deterministic int16 PCM signal is
+    synthesized per doc, encoded as genuine WAV bytes, decoded back, and
+    duration/rate/RMS computed from the DECODED samples. PCM is lossless,
+    so the oracle predicts RMS analytically from the sample formula — any
+    codec defect (chunk walk, sign handling, channel stride) breaks the
+    hash match."""
+    from ..multimodal.wav_codec import audio_features, samples_to_wav, wav_to_samples
+
+    schema = T.StructType(
+        [
+            T.StructField("duration_s", T.DoubleType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("rms", T.DoubleType(), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def roundtrip(doc_id: pd.Series) -> pd.DataFrame:
+        rows = []
+        for d in doc_id:
+            d = int(d)
+            n = 800 + (d % 5) * 160
+            i = np.arange(n, dtype=np.int64)
+            sig = (((d * 31 + i * 7) % 2001) - 1000).astype(np.int16)
+            back, rate = wav_to_samples(samples_to_wav(sig, 8000))
+            feats = audio_features(back, rate)
+            rows.append(
+                dict(
+                    duration_s=feats["duration_s"],
+                    sample_rate=int(rate),
+                    rms=feats["rms"],
+                )
+            )
+        return pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    e = roundtrip(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.round(e.getField("duration_s"), 6).alias("duration_s"),
+        e.getField("sample_rate").alias("sample_rate"),
+        F.round(e.getField("rms"), 6).alias("rms"),
+    )
