@@ -65,6 +65,9 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     "events_improvement_pct": ("events_type_stats", "doc_indicator_flags"),
     # same deterministic md5-bucket assignment algebra, richer query
     "doc_hash_split": ("doc_stratified_sample",),
+    # lossless-codec roundtrip shape green via the PNG row; GIF specifics
+    # (LZW, palettes) are pinned by tests/test_gif_codec.py external fixtures
+    "gif_pixel_roundtrip": ("png_pixel_roundtrip", "image_manifest"),
 }
 
 

@@ -3,9 +3,11 @@
 The reference extracts PNGs from PDFs, hashes them, and manifests them
 (``image_processor.py:29-153,204-227``, S9). The Spark-side plumbing is
 real — schemas, batch iteration, partitioning, manifest aggregation — and
-since round 3 PNG pixel decode is real too (pure-Python codec in
-``png_codec.py``; ``decode_image_real`` uses it for PNG payloads and only
-needs PIL for other formats). The default ``decode_fn`` remains the
+pixel decode is real for the three dominant web formats, all pure-Python
+from public specs: PNG (``png_codec.py``, round 3), baseline JPEG
+(``jpeg_codec.py``, round 4), GIF (``gif_codec.py``, round 4).
+``decode_image_real`` dispatches on signature and only needs PIL for
+anything else (WebP/TIFF/...). The default ``decode_fn`` remains the
 deterministic fake so fixture-driven queries stay library-independent;
 pass ``decode_image_real`` to run on real pixels.
 """
@@ -73,6 +75,16 @@ def decode_image_real(payload: bytes) -> dict:
             width=int(px.shape[1]),
             height=int(px.shape[0]),
             format="jpeg",
+            feature=image_features(px),
+        )
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif_codec import gif_to_pixels
+
+        px = gif_to_pixels(payload)
+        return dict(
+            width=int(px.shape[1]),
+            height=int(px.shape[0]),
+            format="gif",
             feature=image_features(px),
         )
     try:
