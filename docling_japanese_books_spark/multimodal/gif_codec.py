@@ -192,7 +192,16 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 
 
 def gif_to_pixels(payload: bytes) -> np.ndarray:
-    """GIF bytes -> (H,W,3) uint8 RGB of the first image."""
+    """GIF bytes -> (H,W,3) uint8 RGB of the first image. Malformed input
+    raises ValueError (truncation shows up as IndexError internally —
+    normalized here so decode UDFs can isolate per row on one type)."""
+    try:
+        return _gif_to_pixels(payload)
+    except IndexError as ex:
+        raise ValueError(f"truncated GIF: {ex}") from ex
+
+
+def _gif_to_pixels(payload: bytes) -> np.ndarray:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     w = int.from_bytes(payload[6:8], "little")

@@ -495,7 +495,17 @@ def _extend(v: int, size: int) -> int:
 
 
 def jpeg_to_pixels(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 (H,W) gray or (H,W,3) RGB."""
+    """Baseline JPEG bytes -> uint8 (H,W) gray or (H,W,3) RGB. Malformed
+    input raises ValueError (truncation shows up as IndexError/unpack
+    errors internally — normalized here so decode UDFs can isolate per
+    row on one type)."""
+    try:
+        return _jpeg_to_pixels(payload)
+    except IndexError as ex:
+        raise ValueError(f"truncated JPEG: {ex}") from ex
+
+
+def _jpeg_to_pixels(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

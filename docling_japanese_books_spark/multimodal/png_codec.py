@@ -135,7 +135,7 @@ def _chunks(payload: bytes) -> Iterator[Tuple[bytes, bytes]]:
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
+        if len(data) != length or pos + 12 + length > len(payload):
             raise ValueError("truncated PNG chunk")
         expect = struct.unpack(
             ">I", payload[pos + 8 + length : pos + 12 + length]

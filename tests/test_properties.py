@@ -183,3 +183,108 @@ def test_pdf_bytes_roundtrip_property(words, wpl, lpp):
     ir = decode_pdf_minimal(text_to_pdf(text, words_per_line=wpl, lines_per_page=lpp))
     rec = reconstruct_reading_order(ir).replace("\n\n", " ").replace("\n", " ")
     assert rec == text
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    v=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_uniform_q100_exact_property(w, h, v):
+    """Any uniform image at any size round-trips byte-exactly at q100
+    (DC-only blocks, quant step 1) — the invariant the oracle query leans
+    on, over the whole size/value space including non-multiple-of-8 and
+    non-multiple-of-16 (4:2:0 MCU) dimensions."""
+    import numpy as np
+
+    from docling_japanese_books_spark.multimodal.jpeg_codec import (
+        jpeg_to_pixels,
+        pixels_to_jpeg,
+    )
+
+    px = np.full((h, w), v, np.uint8)
+    back = jpeg_to_pixels(pixels_to_jpeg(px, quality=100))
+    assert back.shape == (h, w) and (back == px).all()
+    rgb = np.full((h, w, 3), v, np.uint8)
+    back = jpeg_to_pixels(pixels_to_jpeg(rgb, quality=100, subsampling="4:2:0"))
+    assert back.shape == (h, w, 3) and (back == rgb).all()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    ncol=st.integers(min_value=2, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_lossless_property(w, h, ncol, seed):
+    """GIF is lossless: any palette-index image round-trips exactly —
+    exercises LZW width growth wherever the dictionary crosses a power of
+    two, for every palette depth 1..8."""
+    import numpy as np
+
+    from docling_japanese_books_spark.multimodal.gif_codec import (
+        gif_to_pixels,
+        pixels_to_gif,
+    )
+
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, ncol, (h, w)).astype(np.uint8)
+    pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+    assert (gif_to_pixels(pixels_to_gif(idx, pal)) == pal[idx]).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=3000),
+    ch=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_lossless_property(n, ch, rate, seed):
+    """PCM16 WAV is lossless for any length, channel count, and rate."""
+    import numpy as np
+
+    from docling_japanese_books_spark.multimodal.wav_codec import (
+        samples_to_wav,
+        wav_to_samples,
+    )
+
+    rng = np.random.RandomState(seed)
+    sig = rng.randint(-32768, 32768, (n, ch), np.int64).astype(np.int16)
+    back, r = wav_to_samples(samples_to_wav(sig, rate))
+    assert r == rate and back.shape == (n, ch) and (back == sig).all()
+
+
+@given(payload=st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_codec_decoders_reject_garbage_cleanly(payload):
+    """Every codec decoder either raises ValueError on arbitrary bytes or
+    returns a well-formed result — never crashes with an internal error
+    (the per-row isolation contract of the decode UDFs)."""
+    import numpy as np
+
+    from docling_japanese_books_spark.multimodal.gif_codec import gif_to_pixels
+    from docling_japanese_books_spark.multimodal.jpeg_codec import jpeg_to_pixels
+    from docling_japanese_books_spark.multimodal.png_codec import png_to_pixels
+    from docling_japanese_books_spark.multimodal.wav_codec import wav_to_samples
+
+    sigs = {
+        jpeg_to_pixels: b"\xff\xd8",
+        gif_to_pixels: b"GIF89a",
+        png_to_pixels: b"\x89PNG\r\n\x1a\n",
+    }
+    for decode, sig in sigs.items():
+        for variant in (payload, sig + payload):  # valid signature + garbage
+            try:
+                out = decode(variant)
+                assert isinstance(out, np.ndarray)
+            except ValueError:
+                pass
+    for variant in (payload, b"RIFF" + payload[:4] + b"WAVE" + payload):
+        try:
+            s, r = wav_to_samples(variant)
+            assert isinstance(s, np.ndarray) and r > 0
+        except ValueError:
+            pass
