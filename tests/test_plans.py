@@ -163,6 +163,25 @@ def test_ivf_plan_size_independent_of_cells_and_dims(spark):
     assert big < small + 2_000, f"plan grew with cells x dims: {small} -> {big}"
 
 
+def test_codec_roundtrips_single_python_stage(plans):
+    # each codec roundtrip is ONE ArrowEvalPython projection over the
+    # scan — no shuffle, no duplicated UDF evaluation: at 100 TB these
+    # run as pure map stages
+    for name in ("jpeg_pixel_roundtrip", "gif_pixel_roundtrip",
+                 "wav_audio_roundtrip", "png_pixel_roundtrip"):
+        p = plans(name)
+        assert p.count("ArrowEvalPython") == 1, name
+        assert "Exchange" not in p, name
+
+
+def test_snapshot_time_travel_single_window_shuffle(plans):
+    # live-partition selection = one hash exchange on bucket + one window;
+    # no join, no extra shuffle
+    p = plans("snapshot_time_travel")
+    assert p.count("Exchange") == 1
+    assert "Window" in p and "Join" not in p
+
+
 def test_interval_join_is_equi_join(plans):
     # bucketized layout: hash-join on (key, bucket), never a nested-loop
     # range join or cartesian product
