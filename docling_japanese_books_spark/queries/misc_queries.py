@@ -285,3 +285,99 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("r"), snap.cast("string")).alias("run_id"),
     )
     return live_partitions(manifest, as_of=4)
+
+
+@query(
+    "url_host_normalize",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Site' || CAST(doc_id % 97 AS VARCHAR) || '.Example.'
+             || CASE doc_id % 3 WHEN 0 THEN 'COM:443'
+                                WHEN 1 THEN 'co.JP:8080' ELSE 'org' END
+             || '/Path/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '?b=2&a=1&c=' || CAST(doc_id AS VARCHAR)
+                     ELSE '' END
+             || '#Frag' AS url
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(
+               regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+               '#.*$', '') AS rest
+      FROM u),
+    r AS (
+      SELECT doc_id, scheme, rest,
+             regexp_extract(rest, '^([^/?]+)', 1) AS hostport
+      FROM p),
+    s AS (
+      SELECT doc_id, scheme,
+             regexp_replace(
+               lower(regexp_replace(hostport, ':[0-9]+$', '')), '\.$', '')
+               AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             regexp_extract(rest, '^[^/?]+(/[^?]*)?', 1) AS path,
+             array_to_string(
+               list_sort(string_split(
+                 regexp_extract(rest, '\?(.*)$', 1), '&')), '&') AS sq
+      FROM r),
+    e AS (
+      SELECT doc_id, scheme, host, port, path, sq,
+             string_split(host, '.') AS parts
+      FROM s)
+    SELECT doc_id, host,
+           CASE WHEN len(parts) >= 3
+                     AND list_contains(
+                       ['co','com','ne','net','or','org','ac','go','ed','gr'],
+                       parts[-2])
+                     AND length(parts[-1]) = 2
+                THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+                WHEN len(parts) >= 2
+                THEN parts[-2] || '.' || parts[-1]
+                ELSE host END AS etld1,
+           scheme || '://' || host
+           || CASE WHEN port <> '' AND NOT (
+                     (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443'))
+                   THEN ':' || port ELSE '' END
+           || CASE WHEN path = '' THEN '/' ELSE path END
+           || CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS normalized
+    FROM e
+    """,
+)
+def url_host_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host / eTLD+1 extraction (functions/urls.py
+    — the north rule buckets pages by host(url), which presumes messy
+    crawl URLs canonicalize to a stable key). Deterministic messy URLs
+    (mixed-case scheme/host, default and explicit ports, unsorted query
+    params, fragments, co.JP registry suffixes) are synthesized per doc;
+    the oracle replays the whole normalization policy independently in
+    DuckDB SQL."""
+    from ..functions.urls import etld1_of, host_of, url_normalize
+
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (d % 97).cast("string"),
+        F.lit(".Example."),
+        F.when(d % 3 == 0, F.lit("COM:443"))
+        .when(d % 3 == 1, F.lit("co.JP:8080"))
+        .otherwise(F.lit("org")),
+        F.lit("/Path/"),
+        d.cast("string"),
+        F.when(
+            d % 2 == 0, F.concat(F.lit("?b=2&a=1&c="), d.cast("string"))
+        ).otherwise(F.lit("")),
+        F.lit("#Frag"),
+    )
+    host = host_of(url)
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        etld1_of(host).alias("etld1"),
+        url_normalize(url).alias("normalized"),
+    )
