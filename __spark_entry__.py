@@ -71,6 +71,10 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # C6 is plain ceil arithmetic; the shape rides richer green agg rows
     # (url_host_normalize promoted in its slot — new unique coverage)
     "doc_chunk_estimate": ("corpus_stats", "doc_token_stats"),
+    # CDXJ parse = from_json + timestamp parse + try-casts: both shapes
+    # green in-window; CDX specifics pinned by tests/test_cdx.py (incl.
+    # the index -> byte-range -> WARC fetch e2e)
+    "cdx_parse": ("events_json_props", "events_hourly_by_type"),
 }
 
 

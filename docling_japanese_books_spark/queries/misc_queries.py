@@ -381,3 +381,76 @@ def url_host_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         etld1_of(host).alias("etld1"),
         url_normalize(url).alias("normalized"),
     )
+
+
+@query(
+    "cdx_parse",
+    r"""
+    SELECT doc_id,
+           'com,example,site' || CAST(doc_id % 50 AS VARCHAR) || ',www)/p/'
+             || CAST(doc_id AS VARCHAR) AS urlkey,
+           '2024-01-01 ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+             || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+             || ':' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+             AS ts_str,
+           'https://www.site' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+           'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+             AS host,
+           'text/html' AS mime,
+           CAST(200 AS INT) AS status,
+           CAST(doc_id * 1000 AS BIGINT) AS warc_offset,
+           CAST(100 + doc_id AS BIGINT) AS warc_length,
+           'crawl/file' || CAST(doc_id % 7 AS VARCHAR) || '.warc.gz'
+             AS warc_filename
+    FROM documents
+    """,
+)
+def cdx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ index parsing (sources/cdx.py — the lookup half of selective
+    Common-Crawl ingest): standards-shaped CDXJ lines are synthesized per
+    doc in-plan, parsed with the production ``parse_cdxj`` (split +
+    from_json + try-casts + host extraction), and every typed field is
+    checked against the oracle's ANALYTIC prediction of the same values —
+    the oracle never re-parses, so a parsing defect cannot cancel out."""
+    from ..sources.cdx import parse_cdxj
+
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    ts14 = F.concat(
+        F.lit("20240101"),
+        F.lpad(s(d % 24), 2, "0"),
+        F.lpad(s(d % 60), 2, "0"),
+        F.lpad(s((d * 7) % 60), 2, "0"),
+    )
+    url = F.concat(
+        F.lit("https://www.site"), s(d % 50), F.lit(".example.com/p/"), s(d)
+    )
+    urlkey = F.concat(
+        F.lit("com,example,site"), s(d % 50), F.lit(",www)/p/"), s(d)
+    )
+    block = F.concat(
+        F.lit('{"url": "'), url,
+        F.lit('", "mime": "text/html", "status": "200", "digest": "sha1:X", '
+              '"length": "'), s(F.lit(100) + d),
+        F.lit('", "offset": "'), s(d * 1000),
+        F.lit('", "filename": "crawl/file'), s(d % 7), F.lit('.warc.gz"}'),
+    )
+    lines = docs.select(
+        "doc_id",
+        F.concat(urlkey, F.lit(" "), ts14, F.lit(" "), block).alias("value"),
+    )
+    parsed = parse_cdxj(lines, keep=("doc_id",))
+    return parsed.select(
+        "doc_id",
+        "urlkey",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "url",
+        "host",
+        "mime",
+        "status",
+        "warc_offset",
+        "warc_length",
+        "warc_filename",
+    )
