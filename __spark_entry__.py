@@ -75,6 +75,9 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # green in-window; CDX specifics pinned by tests/test_cdx.py (incl.
     # the index -> byte-range -> WARC fetch e2e)
     "cdx_parse": ("events_json_props", "events_hourly_by_type"),
+    # same UDF-projection shape as the in-window extract row; charset
+    # specifics pinned by tests/test_charset.py
+    "charset_extract": ("extract_roundtrip", "doc_japanese_confidence"),
 }
 
 

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .charset import sniff_and_decode
+
 # Tags that open a new text block (display:block-ish elements).
 BLOCK_TAGS = frozenset(
     "p div h1 h2 h3 h4 h5 h6 li td th pre blockquote article section "
@@ -245,13 +247,20 @@ class _FastBlockParser:
 
 
 def extract_main_content(html_bytes: Optional[bytes], fast: bool = True) -> dict:
-    """Pure core: html bytes -> extracted text + metrics (never raises)."""
+    """Pure core: html bytes -> extracted text + metrics (never raises).
+
+    Decoding sniffs the charset (extraction/charset.py — BOM, meta
+    declaration, UTF-8, then the JP legacy encodings): real Japanese web
+    corpora are heavily Shift_JIS/EUC-JP/ISO-2022-JP, which the previous
+    UTF-8-only path misclassified as decode_error. The encoding used is
+    surfaced so corpus stats can aggregate by charset."""
     if html_bytes is None or len(html_bytes) == 0:
         return dict(
-            text="", status="empty", blocks_kept=0, blocks_dropped=0, error=None
+            text="", status="empty", blocks_kept=0, blocks_dropped=0,
+            error=None, encoding=None,
         )
     try:
-        raw = html_bytes.decode("utf-8")
+        raw, encoding = sniff_and_decode(bytes(html_bytes))
     except UnicodeDecodeError as ex:
         return dict(
             text="",
@@ -259,6 +268,7 @@ def extract_main_content(html_bytes: Optional[bytes], fast: bool = True) -> dict
             blocks_kept=0,
             blocks_dropped=0,
             error=str(ex)[:200],
+            encoding=None,
         )
     try:
         if fast:
@@ -279,6 +289,7 @@ def extract_main_content(html_bytes: Optional[bytes], fast: bool = True) -> dict
             blocks_kept=len(kept),
             blocks_dropped=dropped,
             error=None,
+            encoding=encoding,
         )
     except Exception as ex:  # malformed beyond HTMLParser's tolerance
         return dict(
@@ -287,6 +298,7 @@ def extract_main_content(html_bytes: Optional[bytes], fast: bool = True) -> dict
             blocks_kept=0,
             blocks_dropped=0,
             error=str(ex)[:200],
+            encoding=encoding,
         )
 
 
@@ -297,6 +309,7 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("blocks_kept", T.IntegerType(), False),
         T.StructField("blocks_dropped", T.IntegerType(), False),
         T.StructField("error", T.StringType(), True),
+        T.StructField("encoding", T.StringType(), True),
     ]
 )
 
@@ -327,6 +340,7 @@ def extract_pages(
                 F.lit(0).alias("blocks_kept"),
                 F.lit(0).alias("blocks_dropped"),
                 F.lit(None).cast("string").alias("error"),
+                F.lit(None).cast("string").alias("encoding"),
             ),
         ).otherwise(extract_udf(F.col(html_col))),
     )

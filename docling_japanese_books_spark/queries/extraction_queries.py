@@ -13,6 +13,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..extraction.html import extract_pages, extract_udf
 from ..extraction.pages import generate_pages
@@ -151,4 +152,70 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.getField("url").alias("url"),
         e.getField("lang").alias("lang"),
         e.getField("body_match").alias("body_match"),
+    )
+
+
+@query(
+    "charset_extract",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'shift_jis'
+                           WHEN 2 THEN 'euc_jp' ELSE 'iso2022_jp' END
+             AS encoding,
+           'ok' AS status,
+           TRUE AS jp_text_extracted
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy-encoding extraction end-to-end (extraction/charset.py — the
+    Japanese web is heavily Shift_JIS/EUC-JP/ISO-2022-JP): a genuine JP
+    page is encoded per doc in one of four charsets WITHOUT a declaration,
+    pushed through the REAL extract_main_content (sniff -> decode ->
+    boilerplate classify), and the reported encoding, status, and a
+    content-survival check are hash-compared to the oracle's analytic
+    prediction — a sniffing or decoding defect flips every third row."""
+    from ..extraction.html import extract_main_content
+
+    codecs = ["utf-8", "shift_jis", "euc_jp", "iso2022_jp"]
+    page = (
+        "<html><body><nav><a href='/'>ホーム</a><a href='/x'>リンク</a></nav>"
+        "<p>吾輩は猫である。名前はまだ無い。どこで生れたかとんと見当がつかぬ。"
+        "何でも薄暗いじめじめした所でニャーニャー泣いていた事だけは記憶している。"
+        "吾輩はここで始めて人間というものを見た。{}</p></body></html>"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("encoding", T.StringType(), True),
+            T.StructField("status", T.StringType(), False),
+            T.StructField("jp_text_extracted", T.BooleanType(), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def roundtrip(doc_id: pd.Series) -> pd.DataFrame:
+        rows = []
+        for d in doc_id:
+            d = int(d)
+            codec = codecs[d % 4]
+            html = page.format(f"文書番号{d}です。").encode(codec)
+            out = extract_main_content(html)
+            rows.append(
+                dict(
+                    encoding=out["encoding"],
+                    status=out["status"],
+                    jp_text_extracted="吾輩は猫である" in out["text"]
+                    and f"文書番号{d}" in out["text"],
+                )
+            )
+        return pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    e = roundtrip(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        e.getField("encoding").alias("encoding"),
+        e.getField("status").alias("status"),
+        e.getField("jp_text_extracted").alias("jp_text_extracted"),
     )
