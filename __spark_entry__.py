@@ -78,6 +78,9 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # same UDF-projection shape as the in-window extract row; charset
     # specifics pinned by tests/test_charset.py
     "charset_extract": ("extract_roundtrip", "doc_japanese_confidence"),
+    # n-gram slide + membership join shapes green in-window; the planted
+    # contamination case is pinned by tests/test_dedup.py
+    "doc_decontaminate": ("dedup_ngram_jaccard", "customers_without_orders"),
 }
 
 

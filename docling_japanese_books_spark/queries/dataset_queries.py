@@ -253,3 +253,41 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(duplicate_line_fraction(F.col("text"))).alias("dup_line_frac"),
         r6(top_word_fraction(F.col("text"))).alias("top_word_frac"),
     )
+
+
+@query(
+    "doc_decontaminate",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ts) >= 5
+                    THEN list_transform(range(1, len(ts) - 3),
+                           i -> array_to_string(list_slice(ts, i, i + 4), ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS g
+      FROM tok),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+    hits AS (
+      SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench USING (g))
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py — the
+    GPT-3/PaLM exact n-gram overlap rule, corpus x benchmark, broadcast
+    probe with no corpus shuffle). The benchmark here is the first five
+    documents' texts (n=5 word-grams at fixture scale; 13 in production),
+    so those five flag as contaminated by self-overlap and the oracle
+    replays the whole tokenize/slide/overlap algebra independently."""
+    from ..operators.decontaminate import flag_contaminated
+
+    docs = t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") < 5).select("text")
+    return flag_contaminated(docs, benchmark, n=5).select(
+        "doc_id", "contaminated"
+    )

@@ -170,3 +170,37 @@ def test_simhash_tokenizer_splits_ideographic_space():
     assert list(_token_hashes("日本　語")) == list(_token_hashes("日本 語"))
     # file/group separators (\x1c-\x1f) split like str.split()
     assert len(_token_hashes("a\x1cb")) == len("a\x1cb".split()) == 2
+
+
+def test_decontamination_flags_planted_benchmark_leak(spark):
+    """A corpus document embedding a benchmark sentence verbatim must be
+    flagged; near-miss documents (shared vocabulary, no shared n-gram)
+    must not. The corpus side of the plan stays shuffle-free (broadcast
+    probe) — the scale property that makes the op runnable at 100 TB."""
+    from docling_japanese_books_spark.operators.decontaminate import (
+        flag_contaminated,
+    )
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over the lazy dog ends"),
+            (2, "quick dog brown lazy fox the over jumps"),  # vocab only
+            (3, "completely unrelated content with different words entirely"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = flag_contaminated(docs, bench, n=5)
+    flags = {r.doc_id: r.contaminated for r in out.collect()}
+    assert flags == {1: True, 2: False, 3: False, 4: False}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges allowed are broadcast + the bounded distinct over
+    # HIT ids — never a hash exchange of the corpus gram stream
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_gram" not in line, f"corpus grams shuffled: {line[:120]}"
