@@ -73,15 +73,30 @@ def _jp_score(text: str) -> int:
     )
 
 
-def sniff_and_decode(html_bytes: bytes) -> Tuple[str, str]:
+def sniff_and_decode(
+    html_bytes: bytes, declared: Optional[str] = None
+) -> Tuple[str, str]:
     """html bytes -> (text, encoding used); UnicodeDecodeError when the
-    bytes match no supported encoding (see module policy #4)."""
+    bytes match no supported encoding (see module policy #4).
+
+    ``declared`` is a transport-level label (the HTTP Content-Type
+    charset a WARC record carries): per WHATWG precedence it outranks the
+    in-document <meta> declaration but not a BOM, and like the meta path
+    a lying label falls through to detection."""
     if html_bytes.startswith(b"\xef\xbb\xbf"):
         return html_bytes[3:].decode("utf-8", errors="replace"), "utf-8"
     if html_bytes.startswith(b"\xff\xfe"):
         return html_bytes[2:].decode("utf-16-le", errors="replace"), "utf-16-le"
     if html_bytes.startswith(b"\xfe\xff"):
         return html_bytes[2:].decode("utf-16-be", errors="replace"), "utf-16-be"
+
+    if declared:
+        codec = _LABELS.get(declared.lower())
+        if codec:
+            try:
+                return html_bytes.decode(codec), codec
+            except (UnicodeDecodeError, LookupError):
+                pass
 
     codec = declared_charset(html_bytes)
     if codec:

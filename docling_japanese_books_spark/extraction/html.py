@@ -246,7 +246,11 @@ class _FastBlockParser:
         self._flush()
 
 
-def extract_main_content(html_bytes: Optional[bytes], fast: bool = True) -> dict:
+def extract_main_content(
+    html_bytes: Optional[bytes],
+    fast: bool = True,
+    charset_hint: Optional[str] = None,
+) -> dict:
     """Pure core: html bytes -> extracted text + metrics (never raises).
 
     Decoding sniffs the charset (extraction/charset.py — BOM, meta
@@ -260,7 +264,7 @@ def extract_main_content(html_bytes: Optional[bytes], fast: bool = True) -> dict
             error=None, encoding=None,
         )
     try:
-        raw, encoding = sniff_and_decode(bytes(html_bytes))
+        raw, encoding = sniff_and_decode(bytes(html_bytes), declared=charset_hint)
     except UnicodeDecodeError as ex:
         return dict(
             text="",
@@ -319,17 +323,36 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([extract_main_content(h) for h in html])
 
 
+@F.pandas_udf(EXTRACT_SCHEMA)
+def extract_with_hint_udf(html: pd.Series, hint: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            extract_main_content(h, charset_hint=c if isinstance(c, str) else None)
+            for h, c in zip(html, hint)
+        ]
+    )
+
+
 def extract_pages(
-    pages: DataFrame, html_col: str = "html", max_bytes: int = 100 * 1024 * 1024
+    pages: DataFrame,
+    html_col: str = "html",
+    max_bytes: int = 100 * 1024 * 1024,
+    charset_col: Optional[str] = None,
 ) -> DataFrame:
     """The scan→extract boundary (ref processor.py:285-319 rebuilt).
 
-    Adds ``extracted: struct<text,status,blocks_kept,blocks_dropped,error>``.
-    The size guard (ref processor.py:231-237, 100 MB limit) is a codegen'd
-    pre-filter on ``length(html)`` so oversized blobs are marked 'oversize'
-    without ever crossing into Python.
+    Adds ``extracted: struct<text,status,blocks_kept,blocks_dropped,error,
+    encoding>``. The size guard (ref processor.py:231-237, 100 MB limit)
+    is a codegen'd pre-filter on ``length(html)`` so oversized blobs are
+    marked 'oversize' without ever crossing into Python. ``charset_col``
+    names a transport-level charset hint column (WARC's HTTP header
+    charset via ``read_warc``) that outranks in-document declarations.
     """
     oversize = F.length(F.col(html_col)) > max_bytes
+    if charset_col is not None:
+        udf_out = extract_with_hint_udf(F.col(html_col), F.col(charset_col))
+    else:
+        udf_out = extract_udf(F.col(html_col))
     return pages.withColumn(
         "extracted",
         F.when(
@@ -342,5 +365,5 @@ def extract_pages(
                 F.lit(None).cast("string").alias("error"),
                 F.lit(None).cast("string").alias("encoding"),
             ),
-        ).otherwise(extract_udf(F.col(html_col))),
+        ).otherwise(udf_out),
     )

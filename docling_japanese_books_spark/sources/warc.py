@@ -30,10 +30,12 @@ from __future__ import annotations
 import datetime as dt
 import gzip
 import io
+import re
 from typing import Iterator, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from ..extraction.pages import PAGES_SCHEMA
 
@@ -52,6 +54,7 @@ def build_warc_record(
     content_language: Optional[str] = None,
     warc_type: str = "response",
     chunked: bool = False,
+    content_type: str = "text/html; charset=utf-8",
 ) -> bytes:
     """One WARC record wrapping an HTTP/1.1 response payload."""
     if chunked:
@@ -64,7 +67,7 @@ def build_warc_record(
         te = f"Content-Length: {len(html)}".encode("ascii") + CRLF
     http = (
         b"HTTP/1.1 200 OK" + CRLF
-        + b"Content-Type: text/html; charset=utf-8" + CRLF
+        + f"Content-Type: {content_type}".encode("latin-1") + CRLF
         + te
         + (
             f"Content-Language: {content_language}".encode("ascii") + CRLF
@@ -125,13 +128,22 @@ def _dechunk(body: bytes) -> bytes:
         pos = nl + 2 + size + 2  # skip chunk data + trailing CRLF
 
 
-def _parse_http_response(payload: bytes) -> Tuple[bytes, Optional[str]]:
-    """Stored HTTP response -> (body bytes, Content-Language or None)."""
+_CHARSET_PARAM_RE = re.compile(rb"charset\s*=\s*\"?([A-Za-z0-9_\-]+)", re.I)
+
+
+def _parse_http_response(
+    payload: bytes,
+) -> Tuple[bytes, Optional[str], Optional[str]]:
+    """Stored HTTP response -> (body bytes, Content-Language or None,
+    Content-Type charset label or None). The header charset outranks any
+    in-document <meta> declaration (WHATWG precedence), so it rides along
+    as a decode hint for the extraction stage."""
     sep = payload.find(CRLF + CRLF)
     if sep < 0 or not payload[:5] in (b"HTTP/",):
         raise ValueError("not an HTTP response payload")
     head, body = payload[:sep], payload[sep + 4 :]
     lang = None
+    charset = None
     chunked = False
     content_length = None
     for line in head.split(CRLF)[1:]:
@@ -139,6 +151,10 @@ def _parse_http_response(payload: bytes) -> Tuple[bytes, Optional[str]]:
         key = k.strip().lower()
         if key == b"content-language":
             lang = v.strip().decode("latin-1") or None
+        elif key == b"content-type":
+            m = _CHARSET_PARAM_RE.search(v)
+            if m:
+                charset = m.group(1).decode("ascii").lower()
         elif key == b"transfer-encoding" and b"chunked" in v.lower():
             chunked = True
         elif key == b"content-length":
@@ -150,10 +166,10 @@ def _parse_http_response(payload: bytes) -> Tuple[bytes, Optional[str]]:
     # Content-Length must be ignored — truncating at CL before dechunking
     # would corrupt the body (real servers do send both)
     if chunked:
-        return _dechunk(body), lang
+        return _dechunk(body), lang, charset
     if content_length is not None:
         body = body[:content_length]
-    return body, lang
+    return body, lang, charset
 
 
 def parse_warc(payload: bytes) -> Iterator[dict]:
@@ -189,10 +205,13 @@ def parse_warc(payload: bytes) -> Iterator[dict]:
             ts = dt.datetime.strptime(
                 headers[b"warc-date"].decode("ascii")[:19], "%Y-%m-%dT%H:%M:%S"
             )
-            body, lang = _parse_http_response(content)
+            body, lang, charset = _parse_http_response(content)
         except (KeyError, ValueError, UnicodeDecodeError):
             continue
-        yield dict(url=url, warc_ts=ts, html=body, text="", lang=lang or "und")
+        yield dict(
+            url=url, warc_ts=ts, html=body, text="", lang=lang or "und",
+            charset_hint=charset,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -200,8 +219,16 @@ def parse_warc(payload: bytes) -> Iterator[dict]:
 # ---------------------------------------------------------------------------
 
 
+WARC_PAGES_SCHEMA = T.StructType(
+    list(PAGES_SCHEMA.fields)
+    + [T.StructField("charset_hint", T.StringType(), True)]
+)
+
+
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
-    """WARC archive glob -> pages DataFrame: binaryFile scan (one row per
+    """WARC archive glob -> pages DataFrame (+ ``charset_hint`` from the
+    HTTP Content-Type header — feed it to ``extract_pages(charset_col=)``
+    so decoding honors WHATWG precedence): binaryFile scan (one row per
     archive) + one mapInPandas parse stage, executor-side."""
     raw = spark.read.format("binaryFile").load(path_glob).select("content")
 
@@ -214,7 +241,8 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
                 except Exception:
                     continue  # unreadable archive: contributes no pages
             yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                rows,
+                columns=["url", "warc_ts", "html", "text", "lang", "charset_hint"],
             )
 
-    return raw.mapInPandas(op, PAGES_SCHEMA)
+    return raw.mapInPandas(op, WARC_PAGES_SCHEMA)

@@ -125,3 +125,46 @@ def test_content_length_plus_chunked_te_wins():
     )
     rows = list(parse_warc(rec))
     assert len(rows) == 1 and rows[0]["html"] == html
+
+
+def test_http_header_charset_drives_decoding(spark, tmp_path):
+    """WHATWG precedence end-to-end: a Shift_JIS body whose charset is
+    declared ONLY in the HTTP Content-Type header (no meta, no BOM) must
+    extract correctly when read_warc's charset_hint feeds extract_pages;
+    and the header must outrank a LYING in-document meta declaration."""
+    import datetime as dt
+
+    from docling_japanese_books_spark.extraction.html import extract_pages
+    from docling_japanese_books_spark.sources.warc import (
+        build_warc_record,
+        read_warc,
+    )
+
+    jp = "吾輩は猫である。名前はまだ無い。これは充分に長い本文の段落です。"
+    plain = f"<html><body><p>{jp}{jp}</p></body></html>".encode("shift_jis")
+    lying = (
+        '<html><head><meta charset="utf-8"></head><body><p>'
+        f"{jp}{jp}</p></body></html>"
+    ).encode("shift_jis")
+    archive = build_warc_record(
+        "https://a.example/sjis", dt.datetime(2024, 1, 1), plain,
+        content_type="text/html; charset=Shift_JIS",
+    ) + build_warc_record(
+        "https://a.example/lying-meta", dt.datetime(2024, 1, 1), lying,
+        content_type="text/html; charset=Shift_JIS",
+    )
+    p = tmp_path / "a.warc"
+    p.write_bytes(archive)
+
+    pages = read_warc(spark, str(p))
+    assert pages.filter("charset_hint = 'shift_jis'").count() == 2
+    out = {
+        r.url: r
+        for r in extract_pages(pages, charset_col="charset_hint")
+        .select("url", "extracted.*")
+        .collect()
+    }
+    for url in ("https://a.example/sjis", "https://a.example/lying-meta"):
+        assert out[url].status == "ok", url
+        assert out[url].encoding == "shift_jis", url
+        assert "吾輩は猫である" in out[url].text, url
