@@ -81,6 +81,9 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # n-gram slide + membership join shapes green in-window; the planted
     # contamination case is pinned by tests/test_dedup.py
     "doc_decontaminate": ("dedup_ngram_jaccard", "customers_without_orders"),
+    # first-occurrence window + grouped reassembly shapes green in-window;
+    # the planted-banner case is pinned by tests/test_dedup.py
+    "dedup_paragraphs": ("doc_dedup_exact", "events_sessionization"),
 }
 
 

@@ -25,7 +25,7 @@ from typing import Tuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -543,3 +543,51 @@ def dedup_keep_cluster_min(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """C4-style CROSS-DOCUMENT paragraph dedup: each distinct paragraph
+    survives only at its first occurrence (lowest (doc_id, position));
+    every later copy is removed and the texts are reconstructed from the
+    surviving paragraphs in original order. Distinct from document-level
+    dedup — it strips the boilerplate paragraphs (cookie banners, footer
+    blurbs) that repeat across MANY otherwise-unique pages.
+
+    One shuffle on the paragraph hash (first-occurrence window), one on
+    the doc id (reconstruction agg); paragraphs travel as 32-byte sha256
+    keys plus their text once each — no quadratic compare anywhere.
+    Returns (id_col, text) with empty text for documents whose every
+    paragraph was a duplicate."""
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_para"),
+    ).filter(F.trim("_para") != "")
+    w = Window.partitionBy(F.sha2(F.trim(F.col("_para")), 256)).orderBy(
+        F.col(id_col), F.col("_idx")
+    )
+    kept = (
+        paras.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_idx"), F.col("_para")))
+                    ),
+                    lambda s: s["_para"],
+                ),
+                sep,
+            ).alias("text")
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(kept, id_col, "left")
+        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    )

@@ -697,3 +697,56 @@ def wav_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.getField("sample_rate").alias("sample_rate"),
         F.round(e.getField("rms"), 6).alias("rms"),
     )
+
+
+@query(
+    "dedup_paragraphs",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || chr(10) || chr(10) || 'shared cookie banner paragraph'
+                  || chr(10) || chr(10) || 'unique tail '
+                  || CAST(doc_id AS VARCHAR) AS text
+      FROM documents),
+    split AS (
+      SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM aug),
+    paras AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ps) + 1),
+                    i -> {'idx': i, 'para': ps[i]})) AS u
+      FROM split),
+    flat AS (
+      SELECT doc_id, u.idx AS idx, u.para AS para
+      FROM paras WHERE trim(u.para) <> ''),
+    ranked AS (
+      SELECT doc_id, idx, para,
+             row_number() OVER (PARTITION BY trim(para)
+                                ORDER BY doc_id, idx) AS rn
+      FROM flat),
+    built AS (
+      SELECT doc_id,
+             string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(b.text, '') AS text
+    FROM documents d LEFT JOIN built b USING (doc_id)
+    """,
+)
+def dedup_paragraphs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document paragraph dedup (operators/dedup.py
+    ``dedup_paragraphs``): a shared boilerplate paragraph is planted into
+    EVERY document plus a unique tail — the banner must survive only in
+    the lowest doc_id and every reconstruction must keep original
+    paragraph order. The oracle replays split / first-occurrence window /
+    ordered reassembly independently in DuckDB."""
+    from ..operators.dedup import dedup_paragraphs
+
+    docs = t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nshared cookie banner paragraph\n\nunique tail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(aug)

@@ -204,3 +204,24 @@ def test_decontamination_flags_planted_benchmark_leak(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "_gram" not in line, f"corpus grams shuffled: {line[:120]}"
+
+
+def test_paragraph_dedup_keeps_first_occurrence_and_order(spark):
+    from docling_japanese_books_spark.operators.dedup import dedup_paragraphs
+
+    banner = "accept all cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n\n{banner}\n\nalpha two"),
+            (2, f"{banner}\n\nbeta body"),       # banner dies, body stays
+            (3, banner),                          # entirely duplicate -> empty
+            (4, "gamma solo\n\n\n\ngamma after blank"),  # blank para dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in dedup_paragraphs(docs).collect()}
+    assert out[1] == f"alpha one\n\n{banner}\n\nalpha two"  # first occurrence
+    assert out[2] == "beta body"
+    assert out[3] == ""
+    assert out[4] == "gamma solo\n\ngamma after blank"
+    assert set(out) == {1, 2, 3, 4}  # no document rows lost
