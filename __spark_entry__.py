@@ -84,6 +84,9 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # first-occurrence window + grouped reassembly shapes green in-window;
     # the planted-banner case is pinned by tests/test_dedup.py
     "dedup_paragraphs": ("doc_dedup_exact", "events_sessionization"),
+    # substr-gram algebra + quality-family agg shapes green in-window;
+    # prod/declarative path equality pinned by tests/test_textstats.py
+    "doc_lm_quality": ("doc_lang_quality", "dedup_ngram_jaccard"),
 }
 
 

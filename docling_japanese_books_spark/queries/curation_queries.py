@@ -750,3 +750,47 @@ def dedup_paragraphs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return dedup_paragraphs(aug)
+
+
+@query(
+    "doc_lm_quality",
+    r"""
+    WITH tri_occ AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(text) >= 3
+                    THEN list_transform(range(1, length(text) - 1),
+                         i -> substr(text, CAST(i AS INT), 3))
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM documents),
+    tri AS (
+      SELECT gram, COUNT(*) AS n3 FROM tri_occ WHERE doc_id < 50
+      GROUP BY gram),
+    bi AS (
+      SELECT substr(gram, 1, 2) AS prefix, SUM(n3) AS n2 FROM tri
+      GROUP BY substr(gram, 1, 2)),
+    scored AS (
+      SELECT o.doc_id,
+             -avg(ln((coalesce(t.n3, 0) + 1) * 1.0
+                     / (coalesce(b.n2, 0) + 256))) AS s
+      FROM tri_occ o
+      LEFT JOIN tri t USING (gram)
+      LEFT JOIN bi b ON substr(o.gram, 1, 2) = b.prefix
+      GROUP BY o.doc_id)
+    SELECT d.doc_id, round(coalesce(s.s, 0.0), 6) AS lm_score
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style character-LM quality score (operators/lm_quality.py):
+    an add-one-smoothed char-trigram model trained on the first 50
+    documents scores every document by cross-entropy — mojibake and
+    keyword spam rank high, trusted-like text low. The declarative twin
+    runs here (the oracle replays train + score as relational algebra);
+    the Arrow path used at scale is pinned equal by tests/test_textstats."""
+    from ..operators.lm_quality import lm_quality_score, train_trigram_counts
+
+    docs = t(spark, sf_dir, "documents")
+    tri, bi = train_trigram_counts(docs.filter(F.col("doc_id") < 50))
+    return lm_quality_score(docs, tri, bi).select(
+        "doc_id", r6(F.col("lm_score")).alias("lm_score")
+    )

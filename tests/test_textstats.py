@@ -168,3 +168,33 @@ def test_top_word_fraction_adversarial_many_distinct_tokens(spark):
     wall = time.time() - t0
     assert abs(out[0].tw - 2 / (n + 1)) < 1e-12
     assert wall < 30, f"top_word_fraction took {wall:.1f}s on 100k distinct tokens"
+
+
+def test_lm_quality_paths_agree_and_rank_junk(spark):
+    """The declarative (oracle-twin) and Arrow (production) scoring paths
+    must produce identical numbers, junk must outscore fluent text under
+    a model trained on the fluent sample, and sub-trigram docs score 0."""
+    from docling_japanese_books_spark.operators.lm_quality import (
+        lm_quality_score,
+        lm_quality_score_arrow,
+        train_trigram_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog run through the forest"),
+            (2, "the quick brown fox again and again in the same forest"),
+            (3, "zxqj vvkpw qqqzz xjxjx mmmwww"),
+            (4, "ab"),
+        ],
+        "doc_id long, text string",
+    )
+    tri, bi = train_trigram_counts(docs.filter("doc_id <= 2").select("text"))
+    a = {r.doc_id: r.lm_score for r in lm_quality_score(docs, tri, bi).collect()}
+    b = {
+        r.doc_id: r.lm_score
+        for r in lm_quality_score_arrow(docs, tri, bi).collect()
+    }
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+    assert a[3] > a[1] and a[3] > a[2]  # junk ranks worse
+    assert a[4] == 0.0
