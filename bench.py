@@ -280,7 +280,11 @@ def main() -> None:
         log(f"materializing {BENCH_PAGES} heavy pages -> {pages_path}")
         generate_pages(
             spark, BENCH_PAGES, seed=42, min_paras=10, max_paras=30
-        ).repartition(128).write.mode("overwrite").option(
+        ).repartition(64).write.mode("overwrite").option(
+            # 64 partitions for the 75k corpus: measured 2.1 s vs 2.7 s at
+            # 128 (8 cores) — the 128 chosen for 120k straggler smoothing
+            # is pure scheduling overhead at this size, and it taxes the
+            # big config (16 task waves) more than the small fleet
             "compression", "none"  # decode work steals pinned CPUs from the UDF
         ).parquet(pages_path)
 
