@@ -88,6 +88,11 @@ def wav_to_samples(payload: bytes) -> Tuple[np.ndarray, int]:
         s = ((u - 128) << 8).astype(np.int16)
     elif fmt_tag == 3 and bits == 32:
         f = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
+        # NaN/Inf samples would propagate through clip/round and hit a
+        # platform-undefined float->int16 cast — malformed media is
+        # rejected, never mis-read
+        if not np.isfinite(f).all():
+            raise ValueError("non-finite float32 WAV samples")
         s = np.clip(np.round(np.clip(f, -1.0, 1.0) * 32767.0), -32768, 32767).astype(
             np.int16
         )

@@ -44,7 +44,12 @@ def flag_contaminated(
     text_col: str = "text",
 ) -> DataFrame:
     """``docs`` + a ``contaminated`` boolean: true iff the document shares
-    at least one word n-gram with any ``benchmark`` row's text."""
+    at least one word n-gram with any ``benchmark`` row's text.
+
+    Idempotent on re-runs: a pre-existing ``contaminated`` column (e.g. a
+    previously flagged corpus) is dropped and recomputed — otherwise the
+    post-join column reference would be ambiguous."""
+    docs = docs.drop("contaminated")
     # deliberately NOT distinct: the trailing distinct over hit doc-ids
     # already dedups, and skipping it keeps the whole gram stream free of
     # hash exchanges (the benchmark-side distinct was the only shuffle)

@@ -562,10 +562,18 @@ def dedup_paragraphs(
     the doc id (reconstruction agg); paragraphs travel as 32-byte sha256
     keys plus their text once each — no quadratic compare anywhere.
     Returns (id_col, text) with empty text for documents whose every
-    paragraph was a duplicate."""
+    paragraph was a duplicate.
+
+    ``sep`` is treated as a LITERAL string on both the split and the
+    reconstruction side (F.split takes a Java regex, so the split pattern
+    is \\Q...\\E-quoted) — separators with regex metacharacters ('||',
+    '. ') split and rejoin consistently."""
+    # \Q...\E literal-quotes sep for java.util.regex; an embedded \E would
+    # end the quote early, so re-open it around each occurrence
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_para"),
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("_idx", "_para"),
     ).filter(F.trim("_para") != "")
     w = Window.partitionBy(F.sha2(F.trim(F.col("_para")), 256)).orderBy(
         F.col(id_col), F.col("_idx")

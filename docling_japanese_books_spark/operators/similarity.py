@@ -19,12 +19,42 @@ from pyspark.sql import types as T
 from ..functions.vectors import cosine
 
 
-def _stack(v: "pd.Series") -> "np.ndarray":
+def _stack(v: "pd.Series", dim: "int | None" = None) -> "np.ndarray":
     """Arrow hands an array<float> column as a Series of numpy arrays;
-    stack into a (batch, dim) float64 matrix (empty-safe)."""
+    stack into a (batch, ``dim``) float64 matrix (empty-safe).
+
+    Null or length-mismatched elements become all-NaN rows instead of
+    raising — a single null embedding must degrade to a null cell/bucket
+    downstream (matching the former column-algebra formulation), never
+    kill the whole task. Callers that matmul against a model matrix pass
+    its ``dim`` so an off-width row can never change the batch width (a
+    ragged row alone in its batch would otherwise shape-error the matmul).
+    The dominant all-valid case stays a single vectorized np.array call."""
     if len(v) == 0:
-        return np.zeros((0, 1), dtype=np.float64)
-    return np.array([np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64)
+        return np.zeros((0, dim or 1), dtype=np.float64)
+    try:
+        out = np.array(
+            [np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64
+        )
+        if out.ndim == 2 and (dim is None or out.shape[1] == dim):
+            return out
+    except (TypeError, ValueError):
+        pass
+    d = dim
+    if d is None:
+        dims = [len(x) for x in v if x is not None]
+        d = max(dims) if dims else 1
+    out = np.full((len(v), d), np.nan, dtype=np.float64)
+    for i, x in enumerate(v):
+        if x is None:
+            continue
+        try:
+            a = np.asarray(x, dtype=np.float64)
+        except (TypeError, ValueError):
+            continue
+        if a.ndim == 1 and len(a) == d:
+            out[i] = a
+    return out
 
 
 def topk_bruteforce(
@@ -76,8 +106,14 @@ def _cell_assign_udf(cent_vecs: "np.ndarray", cent_norms: "np.ndarray"):
 
     @F.pandas_udf(T.IntegerType())
     def assign(v: pd.Series) -> pd.Series:
-        sims = _stack(v) @ unit.T
-        return pd.Series(sims.argmax(axis=1).astype(np.int32)) if len(v) else pd.Series([], dtype="int32")
+        if len(v) == 0:
+            return pd.Series([], dtype="Int32")
+        sims = _stack(v, unit.shape[1]) @ unit.T
+        # NaN rows (null/ragged embeddings) -> null cell, not a bogus argmax
+        valid = np.isfinite(sims).all(axis=1)
+        out = pd.array(sims.argmax(axis=1).astype(np.int32), dtype="Int32")
+        out[~valid] = pd.NA
+        return pd.Series(out)
 
     return assign
 
@@ -95,9 +131,15 @@ def _probe_cells_udf(
     def probes(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        sims = _stack(v) @ unit.T
+        sims = _stack(v, unit.shape[1]) @ unit.T
+        valid = np.isfinite(sims).all(axis=1)
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.astype(np.int32).tolist() for row in order])
+        return pd.Series(
+            [
+                row.astype(np.int32).tolist() if ok else None
+                for row, ok in zip(order, valid)
+            ]
+        )
 
     return probes
 
@@ -250,9 +292,13 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Colu
     @F.pandas_udf(T.LongType())
     def bucket(v: pd.Series) -> pd.Series:
         if len(v) == 0:
-            return pd.Series([], dtype="int64")
-        bits = (_stack(v) @ planes.T) >= 0
-        return pd.Series((bits.astype(np.int64) @ weights).astype(np.int64))
+            return pd.Series([], dtype="Int64")
+        proj = _stack(v, planes.shape[1]) @ planes.T
+        valid = np.isfinite(proj).all(axis=1)
+        bits = proj >= 0
+        out = pd.array((bits.astype(np.int64) @ weights).astype(np.int64), dtype="Int64")
+        out[~valid] = pd.NA
+        return pd.Series(out)
 
     return bucket(vec)
 

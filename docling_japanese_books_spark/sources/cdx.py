@@ -41,14 +41,26 @@ CDXJ_JSON_SCHEMA = T.StructType(
 
 
 def surt_key(url: Column) -> Column:
-    """SURT urlkey: reversed comma-joined host + ')' + lowercased path —
-    ``https://Sub.Example.COM/A/b?x=1`` -> ``com,example,sub)/a/b?x=1``.
+    """SURT urlkey: reversed comma-joined host [+ ``:port`` when the port
+    is explicit and non-default] + ')' + lowercased path —
+    ``https://Sub.Example.COM/A/b?x=1`` -> ``com,example,sub)/a/b?x=1``;
+    ``http://example.com:8080/x`` -> ``com,example:8080)/x``.
 
-    Matches the pywb/Common-Crawl convention for the subset of URLs a
-    crawl index holds (scheme and default ports dropped, host reversed so
-    one host's captures are a contiguous index range — the property that
-    makes per-host index pruning a range scan, not a full pass)."""
+    Follows the pywb convention (scheme and DEFAULT ports dropped, other
+    ports keyed as ``host:port``, host reversed so one host's captures are
+    a contiguous index range — the property that makes per-host index
+    pruning a range scan, not a full pass). Documented divergence from
+    Common Crawl's canonicalizer: the leading ``www`` label is KEPT here
+    (CC strips it, pywb's default does not), so keys match real CC index
+    lines only for non-www urls; keys built by :func:`build_cdxj_line`
+    (same convention both sides) always round-trip."""
+    scheme = scheme_of(url)
     host = host_of(url)
+    port = port_of(url)
+    default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    keep_port = (port != "") & ~default
     rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     rest = F.regexp_replace(
         F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""), r"#.*$", ""
@@ -56,6 +68,7 @@ def surt_key(url: Column) -> Column:
     path_q = F.lower(F.regexp_extract(rest, r"^[^/?]+(.*)$", 1))
     return F.concat(
         rev_host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
         F.lit(")"),
         F.when(path_q == "", F.lit("/")).otherwise(path_q),
     )
@@ -119,13 +132,21 @@ def build_cdxj_line(
 
     s = urlsplit(url)
     host = (s.hostname or "").rstrip(".").lower()
+    port = ""
+    if s.port is not None and (s.scheme.lower(), s.port) not in (
+        ("http", 80),
+        ("https", 443),
+    ):
+        port = f":{s.port}"
     rest = url.split("://", 1)[-1].split("#", 1)[0]
     path_q = ""
     for i, ch in enumerate(rest):
         if ch in "/?":
             path_q = rest[i:]
             break
-    urlkey = ",".join(reversed(host.split("."))) + ")" + (path_q.lower() or "/")
+    urlkey = (
+        ",".join(reversed(host.split("."))) + port + ")" + (path_q.lower() or "/")
+    )
     block = {
         "url": url, "mime": mime, "status": str(status), "digest": digest,
         "length": str(length), "offset": str(offset), "filename": filename,

@@ -67,6 +67,11 @@ def test_surt_key_matches_builder(spark):
         "https://www.example.co.jp/News?b=2",
         "http://single/",
         "https://trailing.dot.net./P",
+        # pywb port convention: non-default kept as host:port, defaults dropped
+        "http://example.com:8080/Admin?z=1",
+        "https://secure.example.net:443/y",
+        "http://plain.example.org:80/",
+        "https://odd.example.io:8443",
     ]
     expected = [build_cdxj_line(u, "20240101000000", "f", 0, 1).split(" ")[0] for u in urls]
     df = spark.createDataFrame([(u,) for u in urls], "url string")

@@ -225,3 +225,51 @@ def test_paragraph_dedup_keeps_first_occurrence_and_order(spark):
     assert out[3] == ""
     assert out[4] == "gamma solo\n\ngamma after blank"
     assert set(out) == {1, 2, 3, 4}  # no document rows lost
+
+
+def test_paragraph_dedup_regex_metachar_separator(spark):
+    """ADVICE r4: sep is a LITERAL both when splitting (F.split takes a
+    Java regex -> must be \\Q-quoted) and when rejoining — '||' or '. '
+    must not silently split per-character."""
+    from docling_japanese_books_spark.operators.dedup import dedup_paragraphs
+
+    banner = "same banner"
+    docs = spark.createDataFrame(
+        [(1, f"alpha||{banner}||omega"), (2, f"{banner}||beta")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in dedup_paragraphs(docs, sep="||").collect()}
+    assert out[1] == f"alpha||{banner}||omega"
+    assert out[2] == "beta"
+
+    docs2 = spark.createDataFrame(
+        [(1, "first. shared tail"), (2, "second. shared tail")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r.text for r in dedup_paragraphs(docs2, sep=". ").collect()}
+    assert out2[1] == "first. shared tail"
+    assert out2[2] == "second"
+
+
+def test_decontamination_rerun_on_flagged_corpus(spark):
+    """ADVICE r4: re-running flag_contaminated on an already-flagged frame
+    must recompute cleanly (the pre-existing column made the post-join
+    reference ambiguous)."""
+    from docling_japanese_books_spark.operators.decontaminate import (
+        flag_contaminated,
+    )
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro the quick brown fox jumps over the lazy dog ends"),
+            (2, "clean document with different words"),
+        ],
+        "doc_id long, text string",
+    )
+    once = flag_contaminated(docs, bench, n=5)
+    twice = flag_contaminated(once, bench, n=5)
+    assert {r.doc_id: r.contaminated for r in twice.collect()} == {1: True, 2: False}
+    assert twice.columns.count("contaminated") == 1

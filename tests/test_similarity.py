@@ -178,3 +178,31 @@ def test_bruteforce_ranks_on_rounded_score(spark):
     assert by_rank[1] == 1 and by_rank[2] == 2 and by_rank[3] == 9
     for r in out:
         assert r.score == round(r.score, 6)
+
+
+def test_null_and_ragged_embeddings_degrade_not_crash(spark, emb):
+    """ADVICE r4: a null or length-mismatched embedding element must map
+    to a null cell/bucket (row silently excluded from candidates), never
+    TypeError the whole task — one bad row was killing topk_ivf/topk_lsh."""
+    from docling_japanese_books_spark.operators.similarity import topk_ivf
+
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [1.0, 2.0])],  # null + ragged (dim 2, not 64)
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb.filter("vec_id >= 2").select("vec_id", "embedding").unionByName(bad)
+    queries = emb.filter("vec_id IN (10, 20)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    out = topk_ivf(queries, corpus, dim=64, k=3, n_cells=8, n_probe=8).collect()
+    assert {r.query_id: r.vec_id for r in out if r.rank == 1} == {10: 10, 20: 20}
+    assert all(r.vec_id < 9000 for r in out)  # bad rows never become candidates
+
+    out2 = topk_lsh(queries, corpus, dim=64, k=3, n_planes=6).collect()
+    assert out2 and all(r.vec_id < 9000 for r in out2)
+
+    # a bad QUERY row yields no results for that query, not a crash
+    bad_q = bad.select(F.col("vec_id").alias("query_id"), "embedding")
+    assert topk_ivf(bad_q, corpus, dim=64, k=3, n_cells=8, n_probe=2).count() == 0
+    assert topk_lsh(bad_q, corpus, dim=64, k=3, n_planes=6).count() == 0

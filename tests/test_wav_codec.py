@@ -139,3 +139,14 @@ def test_decode_media_real_wav_through_spark(spark):
         assert abs(out[d].duration_s - (800 + d * 80) / 8000.0) < 1e-9
         assert len(out[d].samples) == 4
     assert out[99].kind is None  # corrupt bytes isolated per row
+
+
+def test_nonfinite_float32_rejected():
+    """ADVICE r4: NaN/Inf float samples would survive clip/round into a
+    platform-undefined int16 cast — malformed media must raise, not
+    silently decode to garbage."""
+    for val in (float("nan"), float("inf"), float("-inf")):
+        f = np.array([0.0, val, 0.5], dtype="<f4")
+        wav = _riff(_fmt(3, 1, 22050, 32) + _chunk(b"data", f.tobytes()))
+        with pytest.raises(ValueError, match="non-finite"):
+            wav_to_samples(wav)
