@@ -33,14 +33,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # never silently orphan coverage (the r2 doc_sha256 stale-surrogate
 # episode, automated away).
 DEMOTED: dict[str, tuple[str, ...]] = {
-    "nations_per_region": ("q3_shipping_priority", "corpus_stats"),
-    "orders_priority_histogram": ("corpus_stats", "events_type_stats"),
+    # round-5 retirements (VERDICT r4 #6: retire, don't demote, redundant
+    # shapes): nations_per_region, orders_priority_histogram,
+    # top5_expensive_orders, doc_sha256 deleted outright — none carried a
+    # SURVEY §2 op, and their shapes stay green via q3_shipping_priority /
+    # corpus_stats / emb_cosine_topk / doc_dedup_exact.
     # left_semi also green via doc_dedup_exact
     "customers_with_orders": ("customers_without_orders", "doc_dedup_exact"),
     # trivial filter; F1-3/F6 ride other green queries
     "doc_nonempty": ("doc_lang_quality", "q1_pricing_summary"),
-    # sha256 parity green via dedup + manifest
-    "doc_sha256": ("doc_dedup_exact", "image_manifest"),
     # fires on planted twins; cosine family green via similarity_topk_batch
     "emb_near_dup_pairs": ("similarity_topk_batch", "emb_pairwise_stats"),
     # equality filter; F-family rides other greens
@@ -61,7 +62,6 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     "extract_metrics": ("extract_roundtrip", "events_type_stats"),
     # round-4 swaps: jpeg_pixel_roundtrip + snapshot_time_travel (new
     # unique coverage) promoted in; redundant-coverage greens out
-    "top5_expensive_orders": ("q3_shipping_priority", "similarity_topk_batch"),
     "events_improvement_pct": ("events_type_stats", "doc_indicator_flags"),
     # same deterministic md5-bucket assignment algebra, richer query
     "doc_hash_split": ("doc_stratified_sample",),
@@ -87,6 +87,12 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # substr-gram algebra + quality-family agg shapes green in-window;
     # prod/declarative path equality pinned by tests/test_textstats.py
     "doc_lm_quality": ("doc_lang_quality", "dedup_ngram_jaccard"),
+    # round-5 swaps: docx_real_roundtrip + pptx_real_roundtrip promoted in
+    # (the last accepted-but-unparseable formats, now oracle-gated).
+    # plain cumulative window — sessionization runs the same shape plus lag
+    "events_running_sum": ("events_sessionization",),
+    # stem regexp extraction; richer regexp/url algebra green in-window
+    "doc_file_stem": ("url_host_normalize", "image_manifest"),
 }
 
 

@@ -130,6 +130,32 @@ def extract_pdf_pages(sub: DataFrame, payload_col: str = "html") -> DataFrame:
     )
 
 
+def extract_office_pages(sub: DataFrame, payload_col: str = "html") -> DataFrame:
+    """DOCX/PPTX-corpus extractor for the resumable pipeline (the formats
+    the reference accepts at config.py:52-66 and converts at
+    processor.py:285-319): one Arrow stage, per-row format sniffing
+    (extraction/ooxml.parse_office_udf). blocks_kept = extracted
+    paragraphs; decode failures surface via status like the PDF path."""
+    from ..extraction.ooxml import parse_office_udf
+
+    return sub.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "bucket",
+        parse_office_udf(F.col(payload_col)).alias("e"),
+    ).select(
+        "url",
+        "warc_ts",
+        "lang",
+        "bucket",
+        F.col("e.text").alias("text"),
+        F.col("e.status").alias("status"),
+        F.col("e.n_paragraphs").cast("long").alias("blocks_kept"),
+        F.lit(0).cast("long").alias("blocks_dropped"),
+    )
+
+
 def run_extraction_pipeline(
     spark: SparkSession,
     pages: DataFrame,

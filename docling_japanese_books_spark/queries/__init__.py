@@ -12,4 +12,5 @@ from . import analytics_queries  # noqa: F401
 from . import late_queries  # noqa: F401
 from . import structure_queries  # noqa: F401
 from . import dataset_queries  # noqa: F401
+from . import office_queries  # noqa: F401
 from .relational import REGISTRY  # noqa: F401

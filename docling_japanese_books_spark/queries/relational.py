@@ -152,25 +152,6 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "nations_per_region",
-    """
-    SELECT r_name, count(*) AS n_nations
-    FROM nation JOIN region ON n_regionkey = r_regionkey
-    GROUP BY r_name
-    """,
-)
-def nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1-shaped broadcast hash join (dims are tiny at any scale)."""
-    nation = t(spark, sf_dir, "nation")
-    region = t(spark, sf_dir, "region")
-    return (
-        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name")
-        .agg(F.count("*").alias("n_nations"))
-    )
-
-
-@query(
     "customers_with_orders",
     """
     SELECT c_custkey, c_name FROM customer
@@ -203,36 +184,6 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
-
-
-@query(
-    "orders_priority_histogram",
-    "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority",
-)
-def orders_priority_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A15 file-type histogram analog (ref cli.py:84-92)."""
-    return (
-        t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@query(
-    "top5_expensive_orders",
-    """
-    SELECT o_orderkey, round(o_totalprice, 6) AS totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
-    """,
-)
-def top5_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1 global top-k: TakeOrderedAndProject, no full sort at scale."""
-    return (
-        t(spark, sf_dir, "orders")
-        .select("o_orderkey", r6(F.col("o_totalprice")).alias("totalprice"))
-        .orderBy(F.desc("totalprice"), "o_orderkey")
-        .limit(5)
-    )
 
 
 @query(
@@ -422,17 +373,6 @@ def doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 preview truncation (ref query.py:70-76)."""
     return t(spark, sf_dir, "documents").select(
         "doc_id", TX.preview(F.col("text")).alias("preview")
-    )
-
-
-@query(
-    "doc_sha256",
-    "SELECT doc_id, sha256(text) AS text_sha FROM documents",
-)
-def doc_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 content hash (ref image_processor.py:113-116)."""
-    return t(spark, sf_dir, "documents").select(
-        "doc_id", TX.sha256_hex(F.col("text")).alias("text_sha")
     )
 
 

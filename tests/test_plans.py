@@ -52,17 +52,12 @@ def test_q3_forces_broadcast_on_customer_only(spark):
 
 
 def test_topk_is_take_ordered(plans):
-    assert "TakeOrderedAndProject" in plans("top5_expensive_orders")
     assert "TakeOrderedAndProject" in plans("emb_cosine_topk")
 
 
 def test_semi_and_anti_joins(plans):
     assert "LeftSemi" in plans("customers_with_orders")
     assert "LeftAnti" in plans("customers_without_orders")
-
-
-def test_dim_join_broadcasts(plans):
-    assert "BroadcastHashJoin" in plans("nations_per_region")
 
 
 def test_enrichment_join_broadcasts(plans):

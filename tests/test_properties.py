@@ -288,3 +288,23 @@ def test_codec_decoders_reject_garbage_cleanly(payload):
             assert isinstance(s, np.ndarray) and r > 0
         except ValueError:
             pass
+
+
+@given(payload=st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_ooxml_decoders_reject_garbage_cleanly(payload):
+    """DOCX/PPTX decoders follow the same contract: arbitrary bytes (with
+    or without the zip magic) raise ValueError or parse cleanly — never an
+    internal IndexError/KeyError/ParseError escape."""
+    from docling_japanese_books_spark.extraction.ooxml import (
+        docx_to_paragraphs,
+        pptx_to_slides,
+    )
+
+    for variant in (payload, b"PK\x03\x04" + payload):
+        for decode in (docx_to_paragraphs, pptx_to_slides):
+            try:
+                out = decode(variant)
+                assert isinstance(out, list)
+            except ValueError:
+                pass
