@@ -93,6 +93,10 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     "events_running_sum": ("events_sessionization",),
     # stem regexp extraction; richer regexp/url algebra green in-window
     "doc_file_stem": ("url_host_normalize", "image_manifest"),
+    # ann_ivf_persist promoted in (durable-index search, ref
+    # vector_db.py:208-229); pairwise cosine mean/std algebra stays green
+    # via the flagship adjacent-pair window query
+    "emb_pairwise_stats": ("emb_context_preservation", "similarity_topk_batch"),
 }
 
 

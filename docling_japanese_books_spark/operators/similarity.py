@@ -279,15 +279,11 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> "np.ndarray":
     return rng.randn(n_planes, dim).astype(np.float64)
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
-    """Pack sign(v . plane_i) bits into a bucket id — a vectorized pandas
-    UDF whose (n_planes x dim) plane matrix rides in the closure: one
-    matmul + sign-bit pack per Arrow batch, a single plan node regardless
-    of dimensionality (the former literal-array formulation emitted
-    n_planes x dim plan literals and n_planes interpreted folds per row).
-    Planes are deterministic (seeded numpy)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    weights = (1 << np.arange(n_planes, dtype=np.int64))
+def bucket_udf_for(planes: "np.ndarray"):
+    """Sign-bit bucket UDF for an explicit hyperplane matrix (used both by
+    the seeded in-memory path and the persisted-index path, which loads
+    its planes from an artifact table)."""
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
 
     @F.pandas_udf(T.LongType())
     def bucket(v: pd.Series) -> pd.Series:
@@ -300,7 +296,17 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Colu
         out[~valid] = pd.NA
         return pd.Series(out)
 
-    return bucket(vec)
+    return bucket
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Pack sign(v . plane_i) bits into a bucket id — a vectorized pandas
+    UDF whose (n_planes x dim) plane matrix rides in the closure: one
+    matmul + sign-bit pack per Arrow batch, a single plan node regardless
+    of dimensionality (the former literal-array formulation emitted
+    n_planes x dim plan literals and n_planes interpreted folds per row).
+    Planes are deterministic (seeded numpy)."""
+    return bucket_udf_for(_hyperplanes(dim, n_planes, seed))(vec)
 
 
 def topk_lsh(

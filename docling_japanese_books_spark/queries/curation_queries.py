@@ -134,6 +134,50 @@ def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", r6(F.col("score")).alias("score"), "rank")
 
 
+@query(
+    "ann_ivf_persist",
+    f"""
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round(coalesce({_COS.format(a="c.embedding", b="q.embedding")}, 0.0), 6) AS score,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(coalesce({_COS.format(a="c.embedding", b="q.embedding")}, 0.0), 6) DESC,
+                        c.vec_id) AS INT) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 3) c)
+    WHERE rank <= 3
+    """,
+)
+def ann_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index PERSISTENCE under the driver gate (ref vector_db.py:208-229
+    creates a durable collection; :350-400 searches it in a later call):
+    build an IVF index over the corpus, write the centroid + cell-
+    partitioned assignment artifact tables, then search the LOADED index —
+    the corpus is never re-assigned (plan pinned by tests/test_ann_index).
+    Probing all 8 cells makes the persisted search exhaustive, so the
+    oracle is exact brute-force top-3; partial-probe equality with the
+    in-memory operator is pinned by pytest."""
+    import os
+    import tempfile
+
+    from ..operators.ann_index import save_ivf_index, topk_ivf_indexed
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ann_ivf",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    save_ivf_index(corpus, path, n_cells=8)
+    out = topk_ivf_indexed(spark, queries, path, k=3, n_probe=8)
+    return out.select("query_id", "vec_id", r6(F.col("score")).alias("score"), "rank")
+
+
 @query("similarity_topk_lsh")
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the 100-TB path). Rows-only; recall
