@@ -227,6 +227,27 @@ def run_visit(cores: int, pages_path: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def load_query_floors() -> dict:
+    """Cross-run best-known per-query times from every prior BENCH_r*.json
+    in the repo. PURELY METADATA: the floors never alter reps, scheduling,
+    or truncation (those stay unconditional) — they exist so a record
+    taken on a saturated window self-identifies (round-4's 8.16 s headline
+    vs a 5.1 s quiet-window truth was only diagnosable by rerunning)."""
+    floors: dict = {}
+    for f in sorted(REPO.glob("BENCH_r*.json")):
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps bench stdout under "parsed"; accept both shapes
+        if not data.get("queries") and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        for q, t in (data.get("queries") or {}).items():
+            if isinstance(t, (int, float)):
+                floors[q] = min(floors.get(q, t), t)
+    return floors
+
+
 def run_headline(spark) -> dict:
     import __spark_entry__ as entry
 
@@ -352,11 +373,28 @@ def main() -> None:
         ]
         eff_paired = median(pair_ratios)
 
+        # floor metadata (see load_query_floors): a query whose recorded
+        # min is >2x its cross-run floor was measured on a loud window —
+        # the flag marks the RECORD as noise-suspect, it never changes
+        # what was run or how
+        prior_floors = load_query_floors()
+        query_floors = {
+            q: round(min(t, prior_floors.get(q, t)), 3) for q, t in times.items()
+        }
+        floor_exceeded = {
+            q: round(times[q] / query_floors[q], 2)
+            for q in times
+            if query_floors[q] > 0 and times[q] > 2.0 * query_floors[q]
+        }
+
         result = {
             "metric": "headline_queries_total_wall",
             "value": round(sum(times.values()), 3),
             "unit": "sec",
             "queries": times,
+            "query_floors": query_floors,
+            "floor_exceeded": floor_exceeded,
+            "floor_exceeded_any": bool(floor_exceeded),
             "sf": SF_DIR.rstrip("/").split("sf")[-1],
             "extract_scaling": {
                 "pages": n_docs,

@@ -30,7 +30,6 @@ pattern):
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import numpy as np
@@ -103,6 +102,39 @@ def lm_quality_score(
     )
 
 
+def _pack_gram_tables(tri_rows, bi_rows):
+    """Trusted-sample count tables -> sorted packed-codepoint key/value
+    arrays. A trigram key is three 21-bit codepoints packed into one
+    int64 ((c0<<42)|(c1<<21)|c2 — max codepoint 0x10FFFF < 2^21, so the
+    pack is collision-free); a bigram prefix packs two. Sorted arrays +
+    searchsorted replace per-character dict lookups with O(L log K)
+    numpy — the round-4 verdict's one non-vectorized hot-path constant."""
+    tri_pairs = sorted(
+        (
+            (ord(g[0]) << 42) | (ord(g[1]) << 21) | ord(g[2]),
+            n,
+        )
+        for g, n in tri_rows
+    )
+    bi_pairs = sorted(((ord(g[0]) << 21) | ord(g[1]), n) for g, n in bi_rows)
+    tri_keys = np.array([k for k, _ in tri_pairs], dtype=np.int64)
+    tri_vals = np.array([v for _, v in tri_pairs], dtype=np.int64)
+    bi_keys = np.array([k for k, _ in bi_pairs], dtype=np.int64)
+    bi_vals = np.array([v for _, v in bi_pairs], dtype=np.int64)
+    return tri_keys, tri_vals, bi_keys, bi_vals
+
+
+def _lookup_counts(
+    keys: "np.ndarray", vals: "np.ndarray", q: "np.ndarray"
+) -> "np.ndarray":
+    """Vectorized exact-match lookup: count for each query key, 0 when
+    absent (the unsmoothed miss case)."""
+    if len(keys) == 0:
+        return np.zeros(len(q), dtype=np.int64)
+    idx = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+    return np.where(keys[idx] == q, vals[idx], 0)
+
+
 def lm_quality_score_arrow(
     docs: DataFrame,
     tri: DataFrame,
@@ -111,27 +143,30 @@ def lm_quality_score_arrow(
     text_col: str = "text",
 ) -> DataFrame:
     """Production scoring path: identical numbers, one Arrow-batched pass,
-    no per-char row explosion. The count tables collect to plain dicts
-    (bounded: the trusted sample's distinct trigrams) and ride the UDF
-    closure."""
-    tri_map = {r["gram"]: int(r["n3"]) for r in tri.collect()}
-    bi_map = {r["prefix"]: int(r["n2"]) for r in bi.collect()}
+    no per-char row explosion — and no per-character Python either: each
+    document becomes a codepoint array (``encode('utf-32-le')`` +
+    frombuffer), trigram/bigram keys are three shifted slices OR-ed
+    together, and counts come from vectorized searchsorted lookups
+    against the packed trusted-sample tables riding the UDF closure
+    (bounded: the sample's distinct grams)."""
+    tri_keys, tri_vals, bi_keys, bi_vals = _pack_gram_tables(
+        [(r["gram"], int(r["n3"])) for r in tri.collect()],
+        [(r["prefix"], int(r["n2"])) for r in bi.collect()],
+    )
 
     @F.pandas_udf(T.DoubleType())
     def score(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
+        out = np.zeros(len(texts), dtype=np.float64)
+        for j, text in enumerate(texts):
             if not text or len(text) < 3:
-                out.append(0.0)
                 continue
-            logps = [
-                math.log(
-                    (tri_map.get(text[i : i + 3], 0) + 1)
-                    / (bi_map.get(text[i : i + 2], 0) + V)
-                )
-                for i in range(len(text) - 2)
-            ]
-            out.append(-sum(logps) / len(logps))
-        return pd.Series(out, dtype="float64")
+            cp = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(
+                np.int64
+            )
+            c0, c1, c2 = cp[:-2], cp[1:-1], cp[2:]
+            n3 = _lookup_counts(tri_keys, tri_vals, (c0 << 42) | (c1 << 21) | c2)
+            n2 = _lookup_counts(bi_keys, bi_vals, (c0 << 21) | c1)
+            out[j] = -np.log((n3 + 1.0) / (n2 + float(V))).mean()
+        return pd.Series(out)
 
     return docs.select(F.col(id_col), score(F.col(text_col)).alias("lm_score"))

@@ -198,3 +198,41 @@ def test_lm_quality_paths_agree_and_rank_junk(spark):
     assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
     assert a[3] > a[1] and a[3] > a[2]  # junk ranks worse
     assert a[4] == 0.0
+
+
+def test_lm_quality_arrow_long_doc_wall_time(spark):
+    """The Arrow path's inner loop is numpy-vectorized (packed codepoint
+    trigrams + searchsorted) — a 500k-char document must score in seconds,
+    and exactly match the per-character dict computation."""
+    import math
+    import time
+
+    from docling_japanese_books_spark.operators.lm_quality import (
+        V,
+        lm_quality_score_arrow,
+        train_trigram_counts,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and the 日本語 text "
+    long_text = (base * (500_000 // len(base) + 1))[:500_000]
+    trusted = spark.createDataFrame([(base * 20,)], "text string")
+    tri, bi = train_trigram_counts(trusted)
+    docs = spark.createDataFrame([(1, long_text)], "doc_id long, text string")
+
+    t0 = time.time()
+    got = lm_quality_score_arrow(docs, tri, bi).collect()[0].lm_score
+    wall = time.time() - t0
+    assert wall < 20, f"lm_quality arrow path took {wall:.1f}s on 500k chars"
+
+    # reference value via the straightforward per-char dict scoring
+    tri_map = {r["gram"]: int(r["n3"]) for r in tri.collect()}
+    bi_map = {r["prefix"]: int(r["n2"]) for r in bi.collect()}
+    logps = [
+        math.log(
+            (tri_map.get(long_text[i : i + 3], 0) + 1)
+            / (bi_map.get(long_text[i : i + 2], 0) + V)
+        )
+        for i in range(len(long_text) - 2)
+    ]
+    expected = -sum(logps) / len(logps)
+    assert abs(got - expected) < 1e-9
