@@ -97,6 +97,10 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # vector_db.py:208-229); pairwise cosine mean/std algebra stays green
     # via the flagship adjacent-pair window query
     "emb_pairwise_stats": ("emb_context_preservation", "similarity_topk_batch"),
+    # snapshot_delete_travel promoted in (row-level DELETE manifest
+    # algebra); script-count/confidence algebra stays green via the
+    # indicator-flags and lang-quality rows
+    "doc_japanese_confidence": ("doc_indicator_flags", "doc_lang_quality"),
 }
 
 

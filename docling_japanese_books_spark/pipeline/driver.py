@@ -485,6 +485,159 @@ def expire_snapshots(
     return deleted
 
 
+def delete_where(
+    spark: SparkSession,
+    output_dir: str,
+    predicate,
+    run_id: str,
+    source: str = "delete",
+    _fail_before_manifest: bool = False,
+) -> PipelineResult:
+    """Row-level DELETE on a versioned table as a NEW snapshot — the
+    copy-on-write strategy Iceberg calls eager row-level delete, matching
+    the reference's delete-by-document-id semantics (ref
+    vector_db.py:422-437 deletes by doc id from the persistent
+    collection).
+
+    Mechanics: only the buckets that actually contain matching rows are
+    rewritten — their CURRENT live rows minus the victims land in fresh
+    ``(bucket, run_id)`` partitions under snapshot N+1; unaffected
+    buckets keep their existing manifest entries live (per-bucket-latest
+    selection), so the delete's write cost is proportional to the
+    affected data, not the table. History is preserved: every earlier
+    snapshot's partitions are untouched and ``read_snapshot(as_of=N)``
+    still serves the pre-delete rows.
+
+    Crash safety (same contract as the extraction pipeline): data
+    partitions are written BEFORE the single manifest append, so a kill
+    mid-delete leaves either (a) orphan unreferenced partitions — invisible
+    to every reader, and a rerun with the same run_id dynamically
+    overwrites them — or (b) a fully committed delete, in which case the
+    rerun finds no matching rows and no-ops. ``_fail_before_manifest`` is
+    the test hook that simulates (a).
+
+    ``predicate`` is a Column or SQL string over the table's columns.
+    Returns a PipelineResult whose rows_out counts DELETED rows and whose
+    buckets_processed lists the rewritten buckets."""
+    t0 = time.time()
+    m = read_manifest(spark, output_dir)
+    if m is None or "snapshot" not in m.columns:
+        raise ValueError(f"no snapshot manifest at {output_dir}")
+    prev_snap = int(m.agg(F.max("snapshot")).collect()[0][0] or 0)
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    current = read_snapshot(spark, output_dir)
+    # per-bucket live/victim counts in ONE bounded aggregate (buckets are
+    # O(10k) at most): victims>0 marks the bucket affected
+    counts = {
+        int(r.bucket): (int(r.live), int(r.victims))
+        for r in current.groupBy("bucket")
+        .agg(
+            F.count("*").alias("live"),
+            F.sum(F.when(cond, 1).otherwise(0)).alias("victims"),
+        )
+        .collect()
+    }
+    affected = sorted(b for b, (_, v) in counts.items() if v > 0)
+    if not affected:
+        return PipelineResult(
+            buckets_processed=[], buckets_skipped=sorted(counts),
+            rows_out=0, snapshot=prev_snap,
+        )
+
+    # snapshot-immutability guard (same rule as the pipeline): this
+    # run_id must not already own manifest-referenced partitions for the
+    # buckets being rewritten
+    clash = sorted(
+        r.bucket
+        for r in m.filter(
+            (F.col("run_id") == run_id)
+            & F.col("bucket").isin([int(b) for b in affected])
+        )
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"run_id {run_id!r} already holds snapshot data for buckets "
+            f"{clash[:8]}{'...' if len(clash) > 8 else ''}; delete under a "
+            "fresh run_id"
+        )
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    survivors = (
+        current.filter(F.col("bucket").isin([int(b) for b in affected]))
+        .filter(~cond)
+        .drop("run_id")
+        .withColumn("run_id", F.lit(run_id))
+    )
+    survivors.write.partitionBy("bucket", "run_id").mode("overwrite").parquet(
+        _data_path(output_dir)
+    )
+    if _fail_before_manifest:
+        raise RuntimeError("simulated kill between data write and manifest append")
+
+    # read-back stats from the COMMITTED partitions (what downstream sees)
+    from pyspark.errors import AnalysisException
+
+    try:
+        committed = (
+            spark.read.parquet(_data_path(output_dir))
+            .filter(F.col("run_id") == run_id)
+            .filter(F.col("bucket").isin([int(b) for b in affected]))
+        )
+        stats = {
+            int(r.bucket): r
+            for r in committed.groupBy("bucket")
+            .agg(
+                F.count("*").alias("rows_out"),
+                F.sum("blocks_kept").alias("blocks_kept"),
+                F.sum("blocks_dropped").alias("blocks_dropped"),
+                F.sum(
+                    F.when(
+                        F.col("status").isin("decode_error", "parse_error"), 1
+                    ).otherwise(0)
+                ).alias("parse_failures"),
+            )
+            .collect()
+        }
+    except AnalysisException:  # every affected bucket fully deleted
+        stats = {}
+    wall_ms = int((time.time() - t0) * 1000)
+    snapshot = prev_snap + 1
+    manifest_rows = []
+    deleted_total = 0
+    for b in affected:
+        live, victims = counts[b]
+        r = stats.get(b)
+        deleted_total += victims
+        manifest_rows.append(
+            (
+                int(b),
+                run_id,
+                source,
+                "done",
+                int(live),
+                int(r.rows_out) if r else 0,
+                int(r.blocks_kept) if r else 0,
+                int(r.blocks_dropped) if r else 0,
+                int(r.parse_failures) if r else 0,
+                wall_ms,
+                snapshot,
+            )
+        )
+    spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(_manifest_path(output_dir))
+    return PipelineResult(
+        buckets_processed=[int(b) for b in affected],
+        buckets_skipped=sorted(set(counts) - set(affected)),
+        rows_out=deleted_total,
+        snapshot=snapshot,
+    )
+
+
 def snapshots(spark: SparkSession, output_dir: str) -> DataFrame:
     """The snapshot log: one row per snapshot with its run lineage and
     aggregate metrics (what Iceberg surfaces as the snapshots table)."""

@@ -288,6 +288,70 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_delete_travel",
+    """
+    WITH b AS (
+      SELECT CAST(doc_id AS BIGINT) AS bucket FROM documents WHERE doc_id < 25),
+    m AS (
+      SELECT bucket, 'r1' AS run_id, CAST(1 AS BIGINT) AS snapshot,
+             CAST(100 + bucket AS BIGINT) AS n_rows
+      FROM b
+      UNION ALL
+      SELECT bucket, 'del1', CAST(2 AS BIGINT), CAST(90 AS BIGINT)
+      FROM b WHERE bucket % 3 = 0),
+    sel AS (
+      SELECT a.as_of, m.bucket, m.run_id, m.n_rows,
+             row_number() OVER (PARTITION BY a.as_of, m.bucket
+                                ORDER BY m.snapshot DESC) AS rn
+      FROM (SELECT CAST(1 AS BIGINT) AS as_of
+            UNION ALL SELECT CAST(2 AS BIGINT)) a
+      JOIN m ON m.snapshot <= a.as_of)
+    SELECT as_of, bucket, run_id, n_rows AS live_rows FROM sel WHERE rn = 1
+    """,
+)
+def snapshot_delete_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE manifest algebra under the driver gate (the
+    semantics behind pipeline/driver.delete_where, ref vector_db.py:422-437
+    delete-by-id): snapshot 1 writes 25 buckets ('r1', 100+b rows each);
+    snapshot 2 is a delete that rewrote every bucket % 3 == 0 down to 90
+    surviving rows ('del1'). For BOTH as_of cuts the production
+    ``live_partitions`` selection must serve the pre-delete rows at
+    as_of=1 and the rewritten/unaffected mix at as_of=2 — the oracle
+    replays the per-(as_of, bucket) latest-snapshot window in SQL."""
+    from ..pipeline.driver import live_partitions
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    b = F.col("doc_id").cast("long")
+    base = docs.select(
+        b.alias("bucket"),
+        F.lit("r1").alias("run_id"),
+        F.lit(1).cast("long").alias("snapshot"),
+        (b + 100).alias("n_rows"),
+    )
+    dels = docs.filter(b % 3 == 0).select(
+        b.alias("bucket"),
+        F.lit("del1").alias("run_id"),
+        F.lit(2).cast("long").alias("snapshot"),
+        F.lit(90).cast("long").alias("n_rows"),
+    )
+    manifest = base.unionByName(dels)
+    outs = []
+    for as_of in (1, 2):
+        live = live_partitions(
+            manifest.select("bucket", "run_id", "snapshot"), as_of=as_of
+        )
+        outs.append(
+            live.join(manifest, ["bucket", "run_id", "snapshot"]).select(
+                F.lit(as_of).cast("long").alias("as_of"),
+                "bucket",
+                "run_id",
+                F.col("n_rows").alias("live_rows"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+@query(
     "url_host_normalize",
     r"""
     WITH u AS (

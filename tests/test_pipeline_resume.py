@@ -395,3 +395,129 @@ def test_extraction_output_byte_identical(spark, out_dir):
         pages.select("url", F.col("text").alias("expected")).alias("p"), "url"
     )
     assert joined.filter("text <> expected").count() == 0
+
+
+def test_delete_where_new_snapshot_preserves_history(spark, out_dir):
+    """Row-level DELETE (copy-on-write): matching rows vanish from the
+    current snapshot, pre-delete time travel still serves them, and only
+    affected buckets are rewritten."""
+    from docling_japanese_books_spark.pipeline.driver import (
+        delete_where,
+        read_snapshot,
+    )
+
+    pages = generate_pages(spark, N_PAGES, seed=42)
+    r1 = run_extraction_pipeline(
+        spark, pages, out_dir, run_id="r1", n_buckets=N_BUCKETS, versioned=True
+    )
+    before = read_snapshot(spark, out_dir)
+    n_before = before.count()
+    victims = before.filter(F.col("status") != "ok")
+    n_victims = victims.count()
+    victim_buckets = {
+        r.bucket for r in victims.select("bucket").distinct().collect()
+    }
+    assert 0 < n_victims < n_before  # corpus plants malformed pages
+
+    d = delete_where(spark, out_dir, "status <> 'ok'", run_id="del1")
+    assert d.rows_out == n_victims
+    assert set(d.buckets_processed) == victim_buckets
+    assert d.snapshot == r1.snapshot + 1
+
+    after = read_snapshot(spark, out_dir)
+    assert after.count() == n_before - n_victims
+    assert after.filter(F.col("status") != "ok").count() == 0
+    # unaffected buckets still ride their ORIGINAL run's partitions
+    m = read_manifest(spark, out_dir)
+    assert m.filter(
+        (F.col("snapshot") == d.snapshot)
+        & ~F.col("bucket").isin([int(b) for b in victim_buckets])
+    ).count() == 0
+
+    # time travel to the pre-delete snapshot is intact
+    travel = read_snapshot(spark, out_dir, as_of=r1.snapshot)
+    assert travel.count() == n_before
+    assert travel.filter(F.col("status") != "ok").count() == n_victims
+
+
+def test_delete_where_rerun_and_noop(spark, out_dir):
+    from docling_japanese_books_spark.pipeline.driver import (
+        delete_where,
+        read_snapshot,
+    )
+
+    pages = generate_pages(spark, N_PAGES, seed=42)
+    run_extraction_pipeline(
+        spark, pages, out_dir, run_id="r1", n_buckets=N_BUCKETS, versioned=True
+    )
+    d1 = delete_where(spark, out_dir, "status <> 'ok'", run_id="del1")
+    assert d1.rows_out > 0
+    # committed delete: a rerun (fresh run_id) finds nothing and no-ops
+    d2 = delete_where(spark, out_dir, "status <> 'ok'", run_id="del2")
+    assert d2.rows_out == 0 and d2.buckets_processed == []
+    assert d2.snapshot == d1.snapshot  # no empty snapshot appended
+    # run_id reuse against committed buckets is rejected
+    with pytest.raises(ValueError, match="already holds snapshot data"):
+        delete_where(spark, out_dir, "status = 'ok'", run_id="del1")
+
+
+def test_delete_where_kill_mid_delete_resumes_exactly_once(spark, out_dir):
+    """Killed between the data write and the manifest append: readers see
+    the PRE-delete table (orphan partitions are unreferenced); rerunning
+    the delete with the same run_id commits exactly once."""
+    from docling_japanese_books_spark.pipeline.driver import (
+        delete_where,
+        read_snapshot,
+    )
+
+    pages = generate_pages(spark, N_PAGES, seed=42)
+    r1 = run_extraction_pipeline(
+        spark, pages, out_dir, run_id="r1", n_buckets=N_BUCKETS, versioned=True
+    )
+    n_before = read_snapshot(spark, out_dir).count()
+    n_victims = (
+        read_snapshot(spark, out_dir).filter(F.col("status") != "ok").count()
+    )
+
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        delete_where(
+            spark, out_dir, "status <> 'ok'", run_id="del1",
+            _fail_before_manifest=True,
+        )
+    # half-written delete is invisible: current table unchanged
+    assert read_snapshot(spark, out_dir).count() == n_before
+
+    d = delete_where(spark, out_dir, "status <> 'ok'", run_id="del1")
+    assert d.rows_out == n_victims
+    assert read_snapshot(spark, out_dir).count() == n_before - n_victims
+    # exactly one delete snapshot in the log
+    m = read_manifest(spark, out_dir)
+    snaps = {r.snapshot for r in m.select("snapshot").distinct().collect()}
+    assert snaps == {r1.snapshot, d.snapshot}
+
+
+def test_delete_where_full_bucket_deletion(spark, out_dir):
+    """Deleting EVERY row of some bucket: the new snapshot serves zero rows
+    for it (no phantom partition), and time travel still serves the old."""
+    from docling_japanese_books_spark.pipeline.driver import (
+        delete_where,
+        read_snapshot,
+    )
+
+    pages = generate_pages(spark, N_PAGES, seed=42)
+    r1 = run_extraction_pipeline(
+        spark, pages, out_dir, run_id="r1", n_buckets=N_BUCKETS, versioned=True
+    )
+    before = read_snapshot(spark, out_dir)
+    some_bucket = before.select("bucket").first().bucket
+    n_in_bucket = before.filter(F.col("bucket") == some_bucket).count()
+
+    d = delete_where(
+        spark, out_dir, f"bucket = {some_bucket}", run_id="delb"
+    )
+    assert d.rows_out == n_in_bucket
+    after = read_snapshot(spark, out_dir)
+    assert after.filter(F.col("bucket") == some_bucket).count() == 0
+    assert after.count() == before.count() - n_in_bucket
+    travel = read_snapshot(spark, out_dir, as_of=r1.snapshot)
+    assert travel.filter(F.col("bucket") == some_bucket).count() == n_in_bucket
