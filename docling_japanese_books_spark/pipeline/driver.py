@@ -638,6 +638,143 @@ def delete_where(
     )
 
 
+def merge_into(
+    spark: SparkSession,
+    output_dir: str,
+    source: DataFrame,
+    run_id: str,
+    key_col: str = "url",
+    source_name: str = "merge",
+    _fail_before_manifest: bool = False,
+) -> PipelineResult:
+    """MERGE (upsert) into a versioned table as a new snapshot — the
+    copy-on-write "when matched update, when not matched insert" strategy,
+    keyed on ``key_col``. Completes the DELETE/MERGE pair on the snapshot
+    layer (delete_where is the other half).
+
+    The source frame must carry the table's columns (minus run_id) and a
+    ``bucket`` is derived from the key with the SAME hash the pipeline
+    uses, so a source row lands in the bucket its key already lives in.
+    Only buckets receiving source rows are rewritten: their live rows
+    minus matched keys, unioned with the source rows, land in fresh
+    ``(bucket, run_id)`` partitions under snapshot N+1. Unaffected
+    buckets ride their existing manifest entries; history and time travel
+    are preserved exactly as in delete_where, with the same crash
+    contract (data before the single manifest append; same-run_id rerun
+    overwrites orphans and commits once).
+
+    Returns a PipelineResult: rows_out = rows written into the rewritten
+    buckets (updates + inserts + untouched co-bucketed rows)."""
+    t0 = time.time()
+    m = read_manifest(spark, output_dir)
+    if m is None or "snapshot" not in m.columns:
+        raise ValueError(f"no snapshot manifest at {output_dir}")
+    prev_snap = int(m.agg(F.max("snapshot")).collect()[0][0] or 0)
+
+    n_buckets = int(
+        m.agg(F.max("bucket")).collect()[0][0] or 0
+    ) + 1  # manifest covers every bucket ever written
+    src = source.drop("run_id", "bucket").withColumn(
+        "bucket", F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+    )
+    affected = sorted(
+        int(r.bucket) for r in src.select("bucket").distinct().collect()
+    )
+    if not affected:
+        return PipelineResult(
+            buckets_processed=[], buckets_skipped=[], rows_out=0,
+            snapshot=prev_snap,
+        )
+    clash = sorted(
+        r.bucket
+        for r in m.filter(
+            (F.col("run_id") == run_id)
+            & F.col("bucket").isin([int(b) for b in affected])
+        )
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"run_id {run_id!r} already holds snapshot data for buckets "
+            f"{clash[:8]}{'...' if len(clash) > 8 else ''}; merge under a "
+            "fresh run_id"
+        )
+
+    current = read_snapshot(spark, output_dir)
+    kept = (
+        current.filter(F.col("bucket").isin([int(b) for b in affected]))
+        .join(src.select(key_col), key_col, "left_anti")  # matched -> replaced
+        .drop("run_id")
+    )
+    merged = kept.unionByName(src.select(*kept.columns)).withColumn(
+        "run_id", F.lit(run_id)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.partitionBy("bucket", "run_id").mode("overwrite").parquet(
+        _data_path(output_dir)
+    )
+    if _fail_before_manifest:
+        raise RuntimeError("simulated kill between data write and manifest append")
+
+    committed = (
+        spark.read.parquet(_data_path(output_dir))
+        .filter(F.col("run_id") == run_id)
+        .filter(F.col("bucket").isin([int(b) for b in affected]))
+    )
+    stats = {
+        int(r.bucket): r
+        for r in committed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows_out"),
+            F.sum("blocks_kept").alias("blocks_kept"),
+            F.sum("blocks_dropped").alias("blocks_dropped"),
+            F.sum(
+                F.when(
+                    F.col("status").isin("decode_error", "parse_error"), 1
+                ).otherwise(0)
+            ).alias("parse_failures"),
+        )
+        .collect()
+    }
+    src_counts = {
+        int(r.bucket): int(r.n)
+        for r in src.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    wall_ms = int((time.time() - t0) * 1000)
+    snapshot = prev_snap + 1
+    manifest_rows = []
+    total_out = 0
+    for b in affected:
+        r = stats.get(b)
+        total_out += int(r.rows_out) if r else 0
+        manifest_rows.append(
+            (
+                int(b),
+                run_id,
+                source_name,
+                "done",
+                int(src_counts.get(b, 0)),
+                int(r.rows_out) if r else 0,
+                int(r.blocks_kept) if r else 0,
+                int(r.blocks_dropped) if r else 0,
+                int(r.parse_failures) if r else 0,
+                wall_ms,
+                snapshot,
+            )
+        )
+    spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(_manifest_path(output_dir))
+    return PipelineResult(
+        buckets_processed=[int(b) for b in affected],
+        buckets_skipped=[],
+        rows_out=total_out,
+        snapshot=snapshot,
+    )
+
+
 def snapshots(spark: SparkSession, output_dir: str) -> DataFrame:
     """The snapshot log: one row per snapshot with its run lineage and
     aggregate metrics (what Iceberg surfaces as the snapshots table)."""

@@ -521,3 +521,93 @@ def test_delete_where_full_bucket_deletion(spark, out_dir):
     assert after.count() == before.count() - n_in_bucket
     travel = read_snapshot(spark, out_dir, as_of=r1.snapshot)
     assert travel.filter(F.col("bucket") == some_bucket).count() == n_in_bucket
+
+
+def test_merge_into_upsert_new_snapshot(spark, out_dir):
+    """MERGE (upsert): matched keys are replaced, new keys inserted, only
+    the source rows' buckets are rewritten, and pre-merge time travel is
+    intact."""
+    from docling_japanese_books_spark.pipeline.driver import (
+        merge_into,
+        read_snapshot,
+    )
+
+    pages = generate_pages(spark, N_PAGES, seed=42)
+    r1 = run_extraction_pipeline(
+        spark, pages, out_dir, run_id="r1", n_buckets=N_BUCKETS, versioned=True
+    )
+    before = read_snapshot(spark, out_dir)
+    n_before = before.count()
+    existing = [r.url for r in before.select("url").limit(3).collect()]
+
+    src_rows = [
+        # update: existing keys get new text
+        *[(u, "updated text", "ok") for u in existing],
+        # insert: a brand-new key
+        ("https://brand.new/page", "inserted text", "ok"),
+    ]
+    src = spark.createDataFrame(
+        src_rows, "url string, text string, status string"
+    ).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit("en").alias("lang"),
+        "text",
+        "status",
+        F.lit(1).cast("long").alias("blocks_kept"),
+        F.lit(0).cast("long").alias("blocks_dropped"),
+    )
+    mr = merge_into(spark, out_dir, src, run_id="m1", key_col="url")
+    assert mr.snapshot == r1.snapshot + 1
+
+    after = read_snapshot(spark, out_dir)
+    assert after.count() == n_before + 1  # 3 updates in place + 1 insert
+    got = {
+        r.url: r.text
+        for r in after.filter(
+            F.col("url").isin(existing + ["https://brand.new/page"])
+        ).collect()
+    }
+    assert all(got[u] == "updated text" for u in existing)
+    assert got["https://brand.new/page"] == "inserted text"
+    # keys stay unique after the upsert
+    assert after.select("url").distinct().count() == after.count()
+
+    # time travel to pre-merge still serves the original text
+    travel = read_snapshot(spark, out_dir, as_of=r1.snapshot)
+    assert travel.count() == n_before
+    old = {r.url: r.text for r in travel.filter(F.col("url").isin(existing)).collect()}
+    assert all(old[u] != "updated text" for u in existing)
+
+
+def test_merge_into_kill_and_resume(spark, out_dir):
+    from docling_japanese_books_spark.pipeline.driver import (
+        merge_into,
+        read_snapshot,
+    )
+
+    pages = generate_pages(spark, N_PAGES, seed=42)
+    run_extraction_pipeline(
+        spark, pages, out_dir, run_id="r1", n_buckets=N_BUCKETS, versioned=True
+    )
+    n_before = read_snapshot(spark, out_dir).count()
+    src = read_snapshot(spark, out_dir).limit(2).drop("run_id").withColumn(
+        "text", F.lit("merged")
+    )
+    # force a concrete source (reading the table we're about to rewrite
+    # mid-merge would race the dynamic overwrite)
+    src = spark.createDataFrame(src.collect(), src.schema)
+
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        merge_into(
+            spark, out_dir, src, run_id="m1", _fail_before_manifest=True
+        )
+    assert read_snapshot(spark, out_dir).count() == n_before  # invisible
+
+    mr = merge_into(spark, out_dir, src, run_id="m1")
+    after = read_snapshot(spark, out_dir)
+    assert after.count() == n_before  # pure update, no inserts
+    assert after.filter(F.col("text") == "merged").count() == 2
+    assert mr.rows_out > 0
+    with pytest.raises(ValueError, match="already holds snapshot data"):
+        merge_into(spark, out_dir, src, run_id="m1")
