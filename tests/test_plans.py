@@ -68,6 +68,10 @@ def test_extraction_single_python_stage(plans):
     # one ArrowEvalPython: the UDF must not be duplicated into injected filters
     assert plans("extract_roundtrip").count("ArrowEvalPython") == 1
     assert plans("chunk_simple").count("ArrowEvalPython") == 1
+    # the OOXML roundtrips project fields out of one struct-valued UDF —
+    # projection collapse must not re-evaluate the UDF per field
+    assert plans("docx_real_roundtrip").count("ArrowEvalPython") == 1
+    assert plans("pptx_real_roundtrip").count("ArrowEvalPython") == 1
 
 
 def test_extraction_column_pruning(spark):
