@@ -68,6 +68,10 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # lossless-codec roundtrip shape green via the PNG row; GIF specifics
     # (LZW, palettes) are pinned by tests/test_gif_codec.py external fixtures
     "gif_pixel_roundtrip": ("png_pixel_roundtrip", "image_manifest"),
+    # same lossless-roundtrip shape; TIFF specifics (IFD walk, byte
+    # orders, PackBits, photometrics) pinned by tests/test_tiff_codec.py
+    # hand-assembled fixtures — demoted from birth like the GIF row
+    "tiff_pixel_roundtrip": ("png_pixel_roundtrip", "image_manifest"),
     # C6 is plain ceil arithmetic; the shape rides richer green agg rows
     # (url_host_normalize promoted in its slot — new unique coverage)
     "doc_chunk_estimate": ("corpus_stats", "doc_token_stats"),

@@ -3,11 +3,12 @@
 The reference extracts PNGs from PDFs, hashes them, and manifests them
 (``image_processor.py:29-153,204-227``, S9). The Spark-side plumbing is
 real — schemas, batch iteration, partitioning, manifest aggregation — and
-pixel decode is real for the three dominant web formats, all pure-Python
-from public specs: PNG (``png_codec.py``, round 3), baseline JPEG
-(``jpeg_codec.py``, round 4), GIF (``gif_codec.py``, round 4).
-``decode_image_real`` dispatches on signature and only needs PIL for
-anything else (WebP/TIFF/...). The default ``decode_fn`` remains the
+pixel decode is real for the dominant web formats plus scanned-book
+masters, all pure-Python from public specs: PNG (``png_codec.py``),
+baseline JPEG (``jpeg_codec.py``), GIF (``gif_codec.py``), baseline
+TIFF (``tiff_codec.py``). ``decode_image_real`` dispatches on signature
+and only needs PIL for anything else (WebP/...). The default
+``decode_fn`` remains the
 deterministic fake so fixture-driven queries stay library-independent;
 pass ``decode_image_real`` to run on real pixels.
 """
@@ -87,14 +88,24 @@ def decode_image_real(payload: bytes) -> dict:
             format="gif",
             feature=image_features(px),
         )
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff_codec import tiff_to_pixels
+
+        px = tiff_to_pixels(payload)
+        return dict(
+            width=int(px.shape[1]),
+            height=int(px.shape[0]),
+            format="tiff",
+            feature=image_features(px),
+        )
     try:
         import io
 
         from PIL import Image  # type: ignore
     except ImportError as ex:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "non-PNG/JPEG decode requires PIL; PNG and baseline JPEG "
-            "decode pure-Python"
+            "WebP/other decode requires PIL; PNG, baseline JPEG, GIF and "
+            "baseline TIFF decode pure-Python"
         ) from ex
     img = Image.open(io.BytesIO(payload))
     return dict(

@@ -544,6 +544,73 @@ def png_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tiff_pixel_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 16 AS INT) AS width,
+           CAST(8 + doc_id % 8 AS INT)  AS height,
+           round(
+             list_aggregate(
+               flatten(list_transform(range(0, CAST(8 + doc_id % 8 AS INT)),
+                 y -> list_transform(range(0, CAST(8 + doc_id % 16 AS INT)),
+                   x -> CAST((x * 7 + y * 13 + doc_id) % 256 AS DOUBLE)))),
+               'avg') / 255.0, 6) AS mean_px
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def tiff_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode under the gate (multimodal/tiff_codec —
+    the scanned-book master format the reference's domain ships): the same
+    deterministic gradient as the PNG row is written as a genuine TIFF,
+    cycling byte order (doc_id%2), compression none/PackBits (doc_id%4//2)
+    and strip height (1 + doc_id%5 rows), decoded back pure-Python;
+    width/height/pixel-mean come from the DECODED pixels and the oracle
+    predicts all three analytically."""
+    from ..multimodal.tiff_codec import pixels_to_tiff, tiff_to_pixels
+
+    schema = T.StructType(
+        [
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("mean_px", T.DoubleType(), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def roundtrip(doc_id: pd.Series) -> pd.DataFrame:
+        rows = []
+        for d in doc_id:
+            d = int(d)
+            w, h = 8 + d % 16, 8 + d % 8
+            x, y = np.arange(w), np.arange(h)
+            px = ((x[None, :] * 7 + y[:, None] * 13 + d) % 256).astype(np.uint8)
+            blob = pixels_to_tiff(
+                px,
+                byte_order="<" if d % 2 == 0 else ">",
+                compression=1 if (d % 4) < 2 else 32773,
+                rows_per_strip=1 + d % 5,
+            )
+            back = tiff_to_pixels(blob)
+            rows.append(
+                dict(
+                    width=int(back.shape[1]),
+                    height=int(back.shape[0]),
+                    mean_px=float(back.astype(np.float64).mean() / 255.0),
+                )
+            )
+        return pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    e = roundtrip(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        e.getField("width").alias("width"),
+        e.getField("height").alias("height"),
+        F.round(e.getField("mean_px"), 6).alias("mean_px"),
+    )
+
+
+@query(
     "jpeg_pixel_roundtrip",
     """
     SELECT doc_id,

@@ -308,3 +308,18 @@ def test_ooxml_decoders_reject_garbage_cleanly(payload):
                 assert isinstance(out, list)
             except ValueError:
                 pass
+
+
+@given(payload=st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_tiff_decoder_rejects_garbage_cleanly(payload):
+    import numpy as np
+
+    from docling_japanese_books_spark.multimodal.tiff_codec import tiff_to_pixels
+
+    for variant in (payload, b"II*\x00" + payload, b"MM\x00*" + payload):
+        try:
+            out = tiff_to_pixels(variant)
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
