@@ -72,6 +72,10 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # orders, PackBits, photometrics) pinned by tests/test_tiff_codec.py
     # hand-assembled fixtures — demoted from birth like the GIF row
     "tiff_pixel_roundtrip": ("png_pixel_roundtrip", "image_manifest"),
+    # same shape again; VP8L specifics (full prefix codes, LZ77, cache,
+    # transforms) pinned by tests/test_webp_codec.py hand-assembled
+    # bitstreams — demoted from birth
+    "webp_pixel_roundtrip": ("png_pixel_roundtrip", "image_manifest"),
     # C6 is plain ceil arithmetic; the shape rides richer green agg rows
     # (url_host_normalize promoted in its slot — new unique coverage)
     "doc_chunk_estimate": ("corpus_stats", "doc_token_stats"),

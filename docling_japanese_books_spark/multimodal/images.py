@@ -98,6 +98,16 @@ def decode_image_real(payload: bytes) -> dict:
             format="tiff",
             feature=image_features(px),
         )
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp_codec import webp_to_pixels
+
+        px = webp_to_pixels(payload)  # lossless VP8L; lossy -> ValueError
+        return dict(
+            width=int(px.shape[1]),
+            height=int(px.shape[0]),
+            format="webp",
+            feature=image_features(px),
+        )
     try:
         import io
 

@@ -611,6 +611,76 @@ def tiff_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "webp_pixel_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 16 AS INT) AS width,
+           CAST(8 + doc_id % 8 AS INT)  AS height,
+           round(
+             list_aggregate(
+               flatten(list_transform(range(0, CAST(8 + doc_id % 8 AS INT)),
+                 y -> list_transform(range(0, CAST(8 + doc_id % 16 AS INT)),
+                   x -> CASE WHEN (x + y + doc_id) % 2 = 1
+                        THEN (CAST((doc_id * 37) % 256 AS DOUBLE)
+                              + (doc_id * 73 + 5) % 256
+                              + (doc_id * 113 + 3) % 256) / 3.0
+                        ELSE (CAST((doc_id * 59 + 11) % 256 AS DOUBLE)
+                              + (doc_id * 97 + 29) % 256
+                              + (doc_id * 31 + 201) % 256) / 3.0 END))),
+               'avg') / 255.0, 6) AS mean_px
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def webp_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP LOSSLESS (VP8L) decode under the gate (multimodal/
+    webp_codec — RIFF container, LSB-first bitstream, prefix codes): a
+    two-color checkerboard (the writer's simple-code subset) is encoded
+    and decoded per doc; width/height/pixel-mean come from the DECODED
+    pixels, the oracle predicts them analytically from the checkerboard
+    formula. Full prefix codes / LZ77 / cache / transforms are pinned by
+    tests/test_webp_codec.py hand-assembled bitstreams."""
+    from ..multimodal.webp_codec import pixels_to_webp, webp_to_pixels
+
+    schema = T.StructType(
+        [
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("mean_px", T.DoubleType(), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def roundtrip(doc_id: pd.Series) -> pd.DataFrame:
+        rows = []
+        for d in doc_id:
+            d = int(d)
+            w, h = 8 + d % 16, 8 + d % 8
+            mask = (np.indices((h, w)).sum(axis=0) + d) % 2 == 1
+            px = np.zeros((h, w, 3), np.uint8)
+            px[:, :, 0] = np.where(mask, (d * 37) % 256, (d * 59 + 11) % 256)
+            px[:, :, 1] = np.where(mask, (d * 73 + 5) % 256, (d * 97 + 29) % 256)
+            px[:, :, 2] = np.where(mask, (d * 113 + 3) % 256, (d * 31 + 201) % 256)
+            back = webp_to_pixels(pixels_to_webp(px))
+            rows.append(
+                dict(
+                    width=int(back.shape[1]),
+                    height=int(back.shape[0]),
+                    mean_px=float(back.astype(np.float64).mean() / 255.0),
+                )
+            )
+        return pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    e = roundtrip(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        e.getField("width").alias("width"),
+        e.getField("height").alias("height"),
+        F.round(e.getField("mean_px"), 6).alias("mean_px"),
+    )
+
+
+@query(
     "jpeg_pixel_roundtrip",
     """
     SELECT doc_id,

@@ -323,3 +323,22 @@ def test_tiff_decoder_rejects_garbage_cleanly(payload):
             assert isinstance(out, np.ndarray)
         except ValueError:
             pass
+
+
+@given(payload=st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_webp_decoder_rejects_garbage_cleanly(payload):
+    import numpy as np
+
+    from docling_japanese_books_spark.multimodal.webp_codec import webp_to_pixels
+
+    riffed = (
+        b"RIFF" + len(payload).to_bytes(4, "little") + b"WEBPVP8L"
+        + len(payload).to_bytes(4, "little") + payload
+    )
+    for variant in (payload, riffed, riffed[:20] + b"\x2f" + payload):
+        try:
+            out = webp_to_pixels(variant)
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
