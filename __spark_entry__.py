@@ -76,6 +76,10 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # transforms) pinned by tests/test_webp_codec.py hand-assembled
     # bitstreams — demoted from birth
     "webp_pixel_roundtrip": ("png_pixel_roundtrip", "image_manifest"),
+    # media-roundtrip shape green via the WAV row; AVI specifics (RIFF
+    # lists, DIB stride/bottom-up math, real frame sampling) pinned by
+    # tests/test_avi_codec.py hand-assembled fixture — demoted from birth
+    "avi_video_roundtrip": ("wav_audio_roundtrip", "image_manifest"),
     # C6 is plain ceil arithmetic; the shape rides richer green agg rows
     # (url_host_normalize promoted in its slot — new unique coverage)
     "doc_chunk_estimate": ("corpus_stats", "doc_token_stats"),

@@ -1,12 +1,13 @@
 """Audio/video as opaque binary columns: decode / frame-sample / resize
 plumbing (task brief). Same contract as images.py — the Spark-side shape
 (schemas, mapInPandas batching, per-row error isolation) is real.
-Uncompressed WAV audio decodes for REAL (pure-Python RIFF codec in
-``wav_codec.py`` — samples, duration, windowed features); video and
-compressed audio remain a deterministic fake behind the same function
-slot a real ffmpeg-based decoder would fill (ffmpeg isn't in this
-container; that branch of ``decode_media_real`` raises
-NotImplementedError until it is).
+Uncompressed WAV audio AND uncompressed AVI video decode for REAL
+(pure-Python RIFF codecs in ``wav_codec.py`` / ``avi_codec.py`` —
+samples, frames, durations, per-window/per-frame features); compressed
+containers remain a deterministic fake behind the same function slot a
+real ffmpeg-based decoder would fill (ffmpeg isn't in this container;
+that branch of ``decode_media_real`` raises NotImplementedError until
+it is).
 """
 
 from __future__ import annotations
@@ -72,11 +73,12 @@ def fake_decode_media(payload: bytes, n_samples: int = 4) -> dict:
 
 
 def decode_media_real(payload: bytes, n_samples: int = 4) -> dict:
-    """Real decode path: uncompressed WAV audio decodes pure-Python
-    (multimodal/wav_codec — real samples, real windowed features, no
-    ffmpeg needed); other containers stay gated until ffmpeg bindings
-    exist. Corrupt/out-of-subset RIFF bytes raise ValueError —
-    extract_media_features isolates that per row."""
+    """Real decode path: uncompressed WAV audio and uncompressed AVI
+    video decode pure-Python (multimodal/wav_codec, multimodal/avi_codec
+    — real samples/frames, real features, no ffmpeg needed); compressed
+    containers stay gated until ffmpeg bindings exist. Corrupt or
+    out-of-subset RIFF bytes raise ValueError — extract_media_features
+    isolates that per row."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from .wav_codec import audio_features, audio_windows, wav_to_samples
 
@@ -89,9 +91,26 @@ def decode_media_real(payload: bytes, n_samples: int = 4) -> dict:
             n_frames=None,
             samples=audio_windows(samples, rate, n_samples),
         )
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .avi_codec import avi_to_frames, frame_features
+
+        frames, fps = avi_to_frames(payload)
+        n = frames.shape[0]
+        duration = n / fps
+        picks = [min(n - 1, int(n * i / n_samples)) for i in range(n_samples)]
+        return dict(
+            kind="video",
+            duration_s=float(duration),
+            sample_rate=None,
+            n_frames=int(n),
+            samples=[
+                dict(offset_s=round(p / fps, 3), feature=frame_features(frames[p]))
+                for p in picks
+            ],
+        )
     raise NotImplementedError(
-        "real video / compressed-audio decode requires ffmpeg bindings; "
-        "WAV decodes pure-Python, use fake_decode_media elsewhere"
+        "compressed audio/video decode requires ffmpeg bindings; WAV and "
+        "uncompressed AVI decode pure-Python, use fake_decode_media elsewhere"
     )
 
 
@@ -233,19 +252,43 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: one row per sampled frame at evenly-spaced
     offsets (the shape an ffmpeg `-vf fps=` extraction produces). Audio
-    payloads are skipped (kind comes from the decode). Pixel decode is the
-    deterministic fake; the exploded-row plumbing, offsets, and per-frame
-    hashing/features are real. One map stage, no shuffle — at 100 TB the
-    frame explosion multiplies rows ~n_frames x inside the stage without
-    ever exchanging payload bytes."""
+    payloads are skipped (kind comes from the decode). Uncompressed AVI
+    payloads decode for REAL (multimodal/avi_codec: real pixels hashed
+    and featurized per frame); other payloads use the deterministic fake
+    with the same exploded-row shape. One map stage, no shuffle — at
+    100 TB the frame explosion multiplies rows ~n_frames x inside the
+    stage without ever exchanging payload bytes."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi_codec import avi_to_frames, frame_features
+
         for pdf in batches:
             rows = []
             for did, midx, payload in zip(
                 pdf[doc_col], pdf[index_col], pdf[payload_col]
             ):
                 data = bytes(payload) if payload is not None else b""
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    try:
+                        frames, fps = avi_to_frames(data)
+                    except ValueError:
+                        continue  # corrupt video: isolated, not fatal
+                    n = frames.shape[0]
+                    picks = [
+                        min(n - 1, int(n * i / n_frames)) for i in range(n_frames)
+                    ]
+                    for i, p in enumerate(picks):
+                        rows.append(
+                            (
+                                did,
+                                int(midx),
+                                i,
+                                round(p / fps, 3),
+                                hashlib.sha256(frames[p].tobytes()).hexdigest(),
+                                frame_features(frames[p]),
+                            )
+                        )
+                    continue
                 meta = fake_decode_media(data, n_samples=n_frames)
                 if meta["kind"] != "video":
                     continue

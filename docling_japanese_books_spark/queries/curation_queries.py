@@ -881,6 +881,69 @@ def wav_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "avi_video_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(2 + doc_id % 4 AS INT) AS n_frames,
+           round(CAST(2 + doc_id % 4 AS DOUBLE) / 10.0, 6) AS duration_s,
+           round((CAST((doc_id * 31) % 256 AS DOUBLE)
+                  + (doc_id * 53) % 256
+                  + (doc_id * 11) % 256) / 3.0 / 255.0, 6) AS first_frame_mean
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def avi_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode under the gate (pure-Python uncompressed-AVI
+    codec, multimodal/avi_codec): deterministic uniform-color frames are
+    synthesized per doc, containerized as genuine AVI bytes (RIFF lists,
+    DIB bottom-up BGR strips with stride padding), decoded back, and
+    frame count / duration / first-frame pixel mean computed from the
+    DECODED frames; the oracle predicts all three analytically. Frame
+    sampling on real pixels is pinned by tests/test_avi_codec.py."""
+    from ..multimodal.avi_codec import avi_to_frames, frames_to_avi
+
+    schema = T.StructType(
+        [
+            T.StructField("n_frames", T.IntegerType(), False),
+            T.StructField("duration_s", T.DoubleType(), False),
+            T.StructField("first_frame_mean", T.DoubleType(), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def roundtrip(doc_id: pd.Series) -> pd.DataFrame:
+        rows = []
+        for d in doc_id:
+            d = int(d)
+            n, h, w = 2 + d % 4, 4 + d % 4, 4 + d % 5
+            frames = np.zeros((n, h, w, 3), dtype=np.uint8)
+            for i in range(n):
+                frames[i, :, :, 0] = (d * 31 + i * 17) % 256
+                frames[i, :, :, 1] = (d * 53 + i * 29) % 256
+                frames[i, :, :, 2] = (d * 11 + i * 41) % 256
+            back, fps = avi_to_frames(frames_to_avi(frames, fps=10))
+            rows.append(
+                dict(
+                    n_frames=int(back.shape[0]),
+                    duration_s=float(back.shape[0] / fps),
+                    first_frame_mean=float(
+                        back[0].astype(np.float64).mean() / 255.0
+                    ),
+                )
+            )
+        return pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    e = roundtrip(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        e.getField("n_frames").alias("n_frames"),
+        F.round(e.getField("duration_s"), 6).alias("duration_s"),
+        F.round(e.getField("first_frame_mean"), 6).alias("first_frame_mean"),
+    )
+
+
+@query(
     "dedup_paragraphs",
     r"""
     WITH aug AS (

@@ -342,3 +342,21 @@ def test_webp_decoder_rejects_garbage_cleanly(payload):
             assert isinstance(out, np.ndarray)
         except ValueError:
             pass
+
+
+@given(payload=st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_avi_decoder_rejects_garbage_cleanly(payload):
+    import numpy as np
+
+    from docling_japanese_books_spark.multimodal.avi_codec import avi_to_frames
+
+    riffed = (
+        b"RIFF" + (len(payload) + 4).to_bytes(4, "little") + b"AVI " + payload
+    )
+    for variant in (payload, riffed):
+        try:
+            frames, fps = avi_to_frames(variant)
+            assert isinstance(frames, np.ndarray) and fps > 0
+        except ValueError:
+            pass
