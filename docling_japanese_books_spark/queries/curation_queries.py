@@ -880,6 +880,26 @@ def wav_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_bpe_tokens")
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization over the corpus (operators/bpe.py): merges
+    trained on the documents table itself (one word-count shuffle +
+    bounded top-N collect + driver-side Sennrich loop), then every doc
+    encoded in one Arrow stage. Rows-only — the iterative merge loop has
+    no ANSI-SQL twin; the algorithm is pinned by tests/test_bpe.py
+    against the published worked example."""
+    from ..operators.bpe import encode_corpus, train_bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=60, max_words=20_000)
+    out = encode_corpus(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.slice("tokens", 1, 8), " ").alias("token_preview"),
+    )
+
+
 @query(
     "avi_video_roundtrip",
     """
