@@ -880,6 +880,40 @@ def wav_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_topk_pq")
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/quantize.py PQ section): train
+    subspace codebooks on a bounded sample, encode the corpus to m
+    one-byte codes, search by asymmetric distance (per-query LUT + m
+    lookups — the corpus scan never touches a float vector). Rows-only;
+    exactness in the codebook-covers-corpus case and recall behavior are
+    pinned by tests/test_pq.py."""
+    import numpy as np
+
+    from ..operators.quantize import (
+        pq_encode_udf,
+        topk_pq_adc,
+        train_pq_codebooks,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").limit(256).collect()],
+        dtype=np.float64,
+    )
+    books = train_pq_codebooks(sample, m=8, k=16, n_iters=3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    codes = corpus.select(
+        "vec_id", pq_encode_udf(books)(F.col("embedding")).alias("codes")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_pq_adc(queries, codes, books, k=3).select(
+        "query_id", "vec_id", r6(F.col("adc_dist")).alias("adc_dist"), "rank"
+    )
+
+
 @query("doc_bpe_tokens")
 def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE tokenization over the corpus (operators/bpe.py): merges
