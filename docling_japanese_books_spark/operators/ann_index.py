@@ -148,6 +148,73 @@ def topk_ivf_indexed(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def save_pq_index(
+    corpus: DataFrame,
+    path: str,
+    codebooks: "np.ndarray",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a product-quantization index: the (m, k, dsub) codebook
+    tensor as a tiny parquet table plus the corpus encoded to m one-byte
+    codes. A search job then reads ONLY (id, codes) — float vectors never
+    hit disk twice nor the search scan at all (the PQ storage win,
+    ~dim*4/m smaller)."""
+    from .quantize import pq_encode_udf
+
+    spark = corpus.sparkSession
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, dsub = books.shape
+    rows = [
+        (s, c, [float(x) for x in books[s, c]])
+        for s in range(m)
+        for c in range(k)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, centroid int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    (
+        corpus.select(
+            corpus_id, pq_encode_udf(books)(F.col(vec_col)).alias("codes")
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+
+
+def load_pq_codebooks(spark: SparkSession, path: str) -> "np.ndarray":
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r.subspace for r in rows) + 1
+    k = max(r.centroid for r in rows) + 1
+    dsub = len(rows[0].vec)
+    books = np.zeros((m, k, dsub), dtype=np.float64)
+    for r in rows:
+        books[r.subspace, r.centroid] = r.vec
+    return books
+
+
+def topk_pq_indexed(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted PQ index by asymmetric distance: the scan side
+    is the codes table alone (plan-pinned — its ReadSchema carries no
+    embedding column), the codebooks ride the scoring UDF's closure."""
+    from .quantize import topk_pq_adc
+
+    books = load_pq_codebooks(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    return topk_pq_adc(
+        queries, codes, books, k=k,
+        query_id=query_id, corpus_id=corpus_id, vec_col=vec_col,
+    )
+
+
 def save_lsh_index(
     corpus: DataFrame,
     path: str,

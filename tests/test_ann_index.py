@@ -122,3 +122,51 @@ def test_lsh_hyperplanes_roundtrip(spark, corpus, tmp_path_factory):
     )
     got = np.array([r["vec"] for r in stored])
     assert np.array_equal(got, _hyperplanes(64, 6, 7))
+
+
+def test_pq_persisted_equals_in_memory_and_scans_codes_only(
+    spark, emb, corpus, queries, tmp_path_factory
+):
+    """Persist->load->ADC search equals the in-memory PQ path, and the
+    search plan's corpus scan reads ONLY (vec_id, codes) — the float
+    embedding column never appears in the codes table's ReadSchema."""
+    import numpy as np
+
+    from docling_japanese_books_spark.operators.ann_index import (
+        load_pq_codebooks,
+        save_pq_index,
+        topk_pq_indexed,
+    )
+    from docling_japanese_books_spark.operators.quantize import (
+        pq_encode_udf,
+        topk_pq_adc,
+        train_pq_codebooks,
+    )
+
+    sample = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").limit(128).collect()],
+        dtype=np.float64,
+    )
+    books = train_pq_codebooks(sample, m=8, k=16, n_iters=3)
+    path = str(tmp_path_factory.mktemp("pq"))
+    save_pq_index(corpus, path, books)
+    assert np.allclose(load_pq_codebooks(spark, path), books)
+
+    persisted = topk_pq_indexed(spark, queries, path, k=5)
+    codes_mem = corpus.select(
+        "vec_id", pq_encode_udf(books)(F.col("embedding")).alias("codes")
+    )
+    in_memory = topk_pq_adc(queries, codes_mem, books, k=5)
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.vec_id, r.adc_dist, r.rank) for r in df.collect()
+        )
+
+    assert rows(persisted) == rows(in_memory)
+
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    codes_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "/codes" in ln
+    ]
+    assert codes_scans and all("embedding" not in ln for ln in codes_scans)
