@@ -147,7 +147,7 @@ def frames_to_avi(frames: "np.ndarray", fps: float = 24.0) -> bytes:
     avih = struct.pack(
         "<14I",
         int(round(1_000_000 / fps)),  # usec per frame
-        stride * h * int(round(fps)),  # max bytes/sec (advisory)
+        min(stride * h * int(round(fps)), 0xFFFFFFFF),  # max bytes/sec (advisory)
         0,  # padding granularity
         0x10,  # AVIF_HASINDEX off; plain flags
         n, 0, 1, stride * h,  # total frames, initial, streams, sugg. buffer
