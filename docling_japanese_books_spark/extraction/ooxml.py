@@ -230,14 +230,24 @@ def _parse_xml(raw: bytes) -> "ET.Element":
         raise ValueError(f"malformed OOXML part: {ex}") from ex
 
 
+_XML_SPACE = "{http://www.w3.org/XML/1998/namespace}space"
+
+
 def _wml_paragraph_text(p: "ET.Element") -> str:
     """WordprocessingML paragraph -> text: runs concatenated in document
-    order; tab -> \\t, br/cr -> \\n; tracked deletions (delText) skipped."""
+    order; tab -> \\t, br/cr -> \\n; tracked deletions (delText) skipped.
+    Per ECMA-376 §22.9.2.1 semantics, a ``w:t`` WITHOUT
+    ``xml:space="preserve"`` has its leading/trailing whitespace
+    stripped (Word itself never round-trips it); preserve-marked runs
+    keep every character."""
     parts: List[str] = []
     for el in p.iter():
         name = _local(el.tag)
         if name == "t":
-            parts.append(el.text or "")
+            text = el.text or ""
+            if el.get(_XML_SPACE) != "preserve":
+                text = text.strip()
+            parts.append(text)
         elif name == "tab":
             parts.append("\t")
         elif name in ("br", "cr"):

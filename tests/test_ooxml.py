@@ -176,7 +176,7 @@ def test_external_hand_assembled_zip_fixture():
     document = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<w:document xmlns:w="{W_NS}"><w:body>'
-        "<w:p><w:r><w:t>hand assembled </w:t></w:r>"
+        '<w:p><w:r><w:t xml:space="preserve">hand assembled </w:t></w:r>'
         "<w:r><w:t>fixture text</w:t></w:r></w:p>"
         "<w:p><w:r><w:t>second paragraph</w:t></w:r></w:p>"
         "</w:body></w:document>"
@@ -268,3 +268,18 @@ def test_extract_office_pages_pipeline_shape(spark):
         "url", "warc_ts", "lang", "bucket", "text", "status",
         "blocks_kept", "blocks_dropped",
     }
+
+
+def test_xml_space_semantics():
+    """Runs WITHOUT xml:space='preserve' lose their edge whitespace (the
+    ECMA-376 consumer rule); preserve-marked runs keep every character —
+    the hand-assembled fixture and our writer both rely on it."""
+    doc = (
+        f'<w:document xmlns:w="{W_NS}"><w:body>'
+        '<w:p><w:r><w:t>  stripped  </w:t></w:r>'
+        '<w:r><w:t xml:space="preserve">  kept  </w:t></w:r></w:p>'
+        "</w:body></w:document>"
+    )
+    assert docx_to_paragraphs(_docx_from_document_xml(doc)) == [
+        "stripped  kept  "
+    ]
