@@ -527,6 +527,125 @@ class _BitWriter:
         return bytes(out)
 
 
+def _huffman_lengths(freqs: Dict[int, int], max_len: int = 15) -> Dict[int, int]:
+    """Optimal prefix-code lengths (heap Huffman) clamped to ``max_len``
+    with a Kraft repair (the classic DEFLATE overflow fix): clamp, then
+    while the Kraft sum exceeds 1 deepen the shallowest clamped-adjacent
+    code. Deterministic: ties broken by symbol."""
+    import heapq
+
+    items = sorted(freqs.items())
+    if len(items) == 1:
+        return {items[0][0]: 1}
+    heap = [(n, sym, (sym,)) for sym, n in items]
+    heapq.heapify(heap)
+    depths = {sym: 0 for sym, _ in items}
+    while len(heap) > 1:
+        n1, s1, g1 = heapq.heappop(heap)
+        n2, s2, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depths[s] += 1
+        heapq.heappush(heap, (n1 + n2, min(s1, s2), g1 + g2))
+    lengths = {s: min(d, max_len) for s, d in depths.items()}
+    # Kraft repair after clamping
+    def kraft():
+        return sum(2.0 ** -l for l in lengths.values())
+
+    while kraft() > 1.0 + 1e-12:
+        # deepen the longest code shorter than max_len (cheapest fix)
+        cands = [s for s, l in lengths.items() if l < max_len]
+        s = max(cands, key=lambda s: (lengths[s], -s))
+        lengths[s] += 1
+    return lengths
+
+
+def _canonical_codes(lengths: Dict[int, int]) -> Dict[int, Tuple[int, int]]:
+    """sym -> (code, nbits) in the same canonical order the decoder
+    derives (ascending (length, symbol))."""
+    used = sorted((l, s) for s, l in lengths.items())
+    counts: Dict[int, int] = {}
+    for l, _ in used:
+        counts[l] = counts.get(l, 0) + 1
+    code = 0
+    next_code: Dict[int, int] = {}
+    for length in range(1, max(counts) + 1):
+        code = (code + counts.get(length - 1, 0)) << 1
+        next_code[length] = code
+    out: Dict[int, Tuple[int, int]] = {}
+    for l, s in used:
+        out[s] = (next_code[l], l)
+        next_code[l] += 1
+    return out
+
+
+def _write_code_msb(bw: "_BitWriter", code: int, length: int) -> None:
+    for i in reversed(range(length)):
+        bw.write((code >> i) & 1, 1)
+
+
+def _write_full_code(
+    bw: "_BitWriter", lengths: Dict[int, int], alphabet: int
+) -> Dict[int, Tuple[int, int]]:
+    """Emit a code-length-coded prefix tree (the spec's full form) for
+    arbitrary symbol sets: zero runs compressed with codes 17/18, the
+    max-symbol field stops the read after the last used symbol."""
+    clc_syms = sorted(set(lengths.values()) | {0, 17, 18})
+    if len(clc_syms) > 16:
+        raise ValueError("too many distinct code lengths")
+    clc = {s: (i, 4) for i, s in enumerate(clc_syms)}  # all length 4
+    bw.write(0, 1)   # not simple
+    bw.write(15, 4)  # 19 code length codes
+    for s in _CLC_ORDER:
+        bw.write(4 if s in clc_syms else 0, 3)
+
+    # count the reads the decoder will perform, for the max-symbol field
+    last = max(lengths)
+    ops: List[Tuple[int, int]] = []  # (clc symbol, extra bits value)
+    sym = 0
+    while sym <= last:  # noqa: E501 — see n_reads>=2 pad after the loop
+        if sym in lengths:
+            ops.append((lengths[sym], -1))
+            sym += 1
+            continue
+        gap = 0
+        while sym + gap <= last and (sym + gap) not in lengths:
+            gap += 1
+        g = gap
+        while g > 0:
+            if g >= 11:
+                k = min(g, 138)
+                ops.append((18, k - 11))
+                g -= k
+            elif g >= 3:
+                ops.append((17, g - 3))
+                g -= g
+            else:
+                ops.append((0, -1))
+                g -= 1
+        sym += gap
+    while len(ops) < 2:  # max_symbol field floor is 2 reads
+        ops.append((0, -1))
+    bw.write(1, 1)  # explicit max symbol
+    # length_nbits = 2 + 2*ReadBits(3); choose 3 -> 8 bits, max 257 reads
+    n_reads = len(ops)
+    if n_reads > 257:
+        bw.write(7, 3)
+        bw.write(n_reads - 2, 16)
+    else:
+        bw.write(3, 3)
+        bw.write(n_reads - 2, 8)
+    for clen, extra in ops:
+        code, nbits = clc[clen]
+        _write_code_msb(bw, code, nbits)
+        if clen == 17:
+            bw.write(extra, 3)
+        elif clen == 18:
+            bw.write(extra, 7)
+    if alphabet <= max(lengths):
+        raise ValueError("symbol out of alphabet")
+    return _canonical_codes(lengths)
+
+
 def _write_simple_code(bw: _BitWriter, symbols: List[int]) -> Dict[int, Tuple[int, int]]:
     """Emit a SIMPLE prefix code for 1-2 symbols; returns symbol ->
     (code, nbits) for the pixel loop (write order defines the codes)."""
@@ -543,9 +662,14 @@ def _write_simple_code(bw: _BitWriter, symbols: List[int]) -> Dict[int, Tuple[in
 
 
 def pixels_to_webp(px: "np.ndarray") -> bytes:
-    """uint8 (h, w, 3) RGB or (h, w) grayscale -> VP8L bytes. Writer
-    subset: each channel may hold at most TWO distinct values (fixture
-    writer — see module docstring)."""
+    """uint8 pixels ((h, w, 3) RGB or (h, w) grayscale) -> VP8L bytes.
+
+    Full lossless encoder for arbitrary images: per-channel literal
+    prefix codes built from symbol frequencies (heap Huffman, 15-bit
+    clamp with Kraft repair) and emitted as code-length-coded trees;
+    channels with <= 2 distinct values use the cheaper SIMPLE form. The
+    stream is literal-only (no LZ77/cache/transforms) — always valid,
+    not always minimal; compression comes from the entropy coding."""
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 2:
         px = np.dstack([px, px, px])
@@ -568,23 +692,23 @@ def pixels_to_webp(px: "np.ndarray") -> bytes:
     bw.write(0, 1)  # no transforms
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix codes
+    alphabets = {"g": 256 + 24, "r": 256, "b": 256}
     for name in ("g", "r", "b"):  # green tree first per spec ordering
-        vals = sorted(set(int(v) for v in chans[name]))
-        if len(vals) > 2:
-            raise ValueError(
-                f"writer subset: channel {name} has {len(vals)} distinct "
-                "values (max 2)"
+        vals, counts = np.unique(chans[name], return_counts=True)
+        if len(vals) <= 2:
+            codes[name] = _write_simple_code(bw, [int(v) for v in vals])
+        else:
+            lengths = _huffman_lengths(
+                {int(v): int(n) for v, n in zip(vals, counts)}
             )
-        codes[name] = _write_simple_code(bw, vals)
-        if name == "g":
-            pass
+            codes[name] = _write_full_code(bw, lengths, alphabets[name])
     codes["a"] = _write_simple_code(bw, [255])
     codes["d"] = _write_simple_code(bw, [0])
     for i in range(w * h):
-        for name, chan in (("g", chans["g"]), ("r", chans["r"]), ("b", chans["b"])):
-            code, nbits = codes[name][int(chan[i])]
+        for name in ("g", "r", "b"):
+            code, nbits = codes[name][int(chans[name][i])]
             if nbits:
-                bw.write(code, nbits)
+                _write_code_msb(bw, code, nbits)
         # alpha: single-symbol tree, zero bits
     payload = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload

@@ -620,25 +620,21 @@ def tiff_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_aggregate(
                flatten(list_transform(range(0, CAST(8 + doc_id % 8 AS INT)),
                  y -> list_transform(range(0, CAST(8 + doc_id % 16 AS INT)),
-                   x -> CASE WHEN (x + y + doc_id) % 2 = 1
-                        THEN (CAST((doc_id * 37) % 256 AS DOUBLE)
-                              + (doc_id * 73 + 5) % 256
-                              + (doc_id * 113 + 3) % 256) / 3.0
-                        ELSE (CAST((doc_id * 59 + 11) % 256 AS DOUBLE)
-                              + (doc_id * 97 + 29) % 256
-                              + (doc_id * 31 + 201) % 256) / 3.0 END))),
+                   x -> CAST((x * 7 + y * 13 + doc_id) % 256 AS DOUBLE)))),
                'avg') / 255.0, 6) AS mean_px
     FROM documents WHERE doc_id < 200
     """,
 )
 def webp_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL WebP LOSSLESS (VP8L) decode under the gate (multimodal/
-    webp_codec — RIFF container, LSB-first bitstream, prefix codes): a
-    two-color checkerboard (the writer's simple-code subset) is encoded
-    and decoded per doc; width/height/pixel-mean come from the DECODED
-    pixels, the oracle predicts them analytically from the checkerboard
-    formula. Full prefix codes / LZ77 / cache / transforms are pinned by
-    tests/test_webp_codec.py hand-assembled bitstreams."""
+    """REAL WebP LOSSLESS (VP8L) roundtrip under the gate (multimodal/
+    webp_codec — RIFF container, LSB-first bitstream, code-length-coded
+    prefix trees): the same deterministic gradient as the PNG row is
+    encoded with the full entropy coder (per-channel Huffman trees, the
+    gradient guarantees >2 symbols so the SIMPLE form is never taken)
+    and decoded back; width/height/pixel-mean come from the DECODED
+    pixels and the oracle predicts them analytically. LZ77 / cache /
+    transforms on the decode side are pinned by tests/test_webp_codec.py
+    hand-assembled bitstreams."""
     from ..multimodal.webp_codec import pixels_to_webp, webp_to_pixels
 
     schema = T.StructType(
@@ -655,12 +651,9 @@ def webp_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in doc_id:
             d = int(d)
             w, h = 8 + d % 16, 8 + d % 8
-            mask = (np.indices((h, w)).sum(axis=0) + d) % 2 == 1
-            px = np.zeros((h, w, 3), np.uint8)
-            px[:, :, 0] = np.where(mask, (d * 37) % 256, (d * 59 + 11) % 256)
-            px[:, :, 1] = np.where(mask, (d * 73 + 5) % 256, (d * 97 + 29) % 256)
-            px[:, :, 2] = np.where(mask, (d * 113 + 3) % 256, (d * 31 + 201) % 256)
-            back = webp_to_pixels(pixels_to_webp(px))
+            x, y = np.arange(w), np.arange(h)
+            g = ((x[None, :] * 7 + y[:, None] * 13 + d) % 256).astype(np.uint8)
+            back = webp_to_pixels(pixels_to_webp(g))
             rows.append(
                 dict(
                     width=int(back.shape[1]),

@@ -40,8 +40,34 @@ def test_gray_and_uniform():
     g = np.full((3, 4), 77, np.uint8)
     back = webp_to_pixels(pixels_to_webp(g))
     assert back.shape == (3, 4, 3) and (back == 77).all()
-    with pytest.raises(ValueError, match="distinct"):
-        pixels_to_webp(np.arange(12, dtype=np.uint8).reshape(3, 4))
+
+
+def test_full_encoder_arbitrary_images():
+    """The encoder's full-tree path (heap Huffman -> code-length-coded
+    trees): gradients, uniform noise, and a pathologically skewed
+    distribution (deep trees, Kraft-repair territory) all roundtrip
+    exactly through the decoder's canonical reconstruction."""
+    rng = np.random.RandomState(11)
+    x, y = np.arange(21), np.arange(13)
+    grad = np.dstack(
+        [
+            ((x[None, :] * 7 + y[:, None] * 13 + s) % 256).astype(np.uint8)
+            for s in (0, 50, 100)
+        ]
+    )
+    noise = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    skew = np.zeros((40, 40, 3), np.uint8)
+    skew[0, :37, 0] = np.arange(37)  # 1563 zeros + 36 singleton values
+    fib = np.zeros((30, 30), np.uint8)
+    # Fibonacci-ish frequencies force maximally unbalanced Huffman depths
+    pos = 0
+    for i, f in enumerate((1, 1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233)):
+        fib.ravel()[pos : pos + f] = 10 + i
+        pos += f
+    for px in (grad, noise, skew, fib):
+        back = webp_to_pixels(pixels_to_webp(px))
+        exp = px if px.ndim == 3 else np.dstack([px, px, px])
+        assert (back == exp).all()
 
 
 # ---------------------------------------------------------------------------
