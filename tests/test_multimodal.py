@@ -60,3 +60,49 @@ def test_manifest_caps_hashes_at_5(spark):
     assert m.n_images == 8
     assert len(m.image_hashes) == 5  # [:5] like ref vector_db.py:273-275
     assert m.image_hashes == sorted(m.image_hashes)
+
+
+def test_resize_real_transcodes_all_decodable_formats():
+    """resize_image_real now decodes every pure-Python format and
+    re-encodes the resized pixels as PNG (lossless transcode target);
+    undecodable bytes keep the stub contract."""
+    import numpy as np
+
+    from docling_japanese_books_spark.multimodal.gif_codec import pixels_to_gif
+    from docling_japanese_books_spark.multimodal.media import resize_image_real
+    from docling_japanese_books_spark.multimodal.png_codec import (
+        PNG_SIGNATURE,
+        png_to_pixels,
+    )
+    from docling_japanese_books_spark.multimodal.tiff_codec import pixels_to_tiff
+    from docling_japanese_books_spark.multimodal.webp_codec import pixels_to_webp
+
+    x, y = np.arange(16), np.arange(12)
+    gray = ((x[None, :] * 7 + y[:, None] * 13) % 256).astype(np.uint8)
+    rgb = np.dstack([gray, gray[::-1], 255 - gray])
+
+    # GIF is palette-indexed: 4-color blocks image through its own writer
+    gif_pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [250, 250, 250]], np.uint8
+    )
+    gif_idx = (np.indices((12, 16)).sum(axis=0) % 4).astype(np.uint8)
+    gif_rgb = gif_pal[gif_idx]
+
+    payloads = {
+        "tiff": (pixels_to_tiff(rgb), rgb),
+        "webp": (pixels_to_webp(rgb), rgb),
+        "gif": (pixels_to_gif(gif_idx, gif_pal), gif_rgb),
+    }
+    for fmt, (blob, src_img) in payloads.items():
+        out = resize_image_real(blob, 8, 6)
+        assert out[: len(PNG_SIGNATURE)] == PNG_SIGNATURE, fmt
+        px = png_to_pixels(out)
+        assert px.shape[:2] == (6, 8), fmt
+        # nearest-neighbor: every output pixel exists in the source
+        src = src_img.reshape(-1, 3)
+        flat = px.reshape(-1, 3) if px.ndim == 3 else px.reshape(-1, 1)
+        for p in flat[::7]:
+            assert (src == p).all(axis=1).any(), fmt
+
+    stub = resize_image_real(b"not an image", 8, 6)
+    assert stub.startswith(b"resized:8x6:")
