@@ -221,6 +221,8 @@ def _read_part(data: bytes, name: str) -> bytes:
         raise ValueError(f"not an OOXML package: {ex}") from ex
     except KeyError as ex:
         raise ValueError(f"missing OOXML part {name}") from ex
+    except NotImplementedError as ex:  # exotic zip compression method
+        raise ValueError(f"unsupported zip compression: {ex}") from ex
 
 
 def _parse_xml(raw: bytes) -> "ET.Element":
@@ -282,6 +284,8 @@ def pptx_to_slides(data: bytes) -> List[List[str]]:
             raws = [z.read(n) for n in names]
     except zipfile.BadZipFile as ex:
         raise ValueError(f"not an OOXML package: {ex}") from ex
+    except NotImplementedError as ex:  # exotic zip compression method
+        raise ValueError(f"unsupported zip compression: {ex}") from ex
     slides: List[List[str]] = []
     for raw in raws:
         root = _parse_xml(raw)

@@ -54,11 +54,13 @@ def avi_to_frames(data: bytes) -> Tuple["np.ndarray", float]:
     compression = None
     frames_raw: List[bytes] = []
 
-    def walk(start: int, stop: int) -> None:
+    def walk(start: int, stop: int, depth: int = 0) -> None:
         nonlocal width, height, usec_per_frame, rate, scale, bit_count, compression
+        if depth > 16:  # crafted deep nesting must ValueError, not recurse out
+            raise ValueError("AVI list nesting too deep")
         for fcc, body, size in _chunks(data, start, stop):
             if fcc == b"LIST":
-                walk(body + 4, body + size)  # skip the list type fourcc
+                walk(body + 4, body + size, depth + 1)  # skip the list type fourcc
             elif fcc == b"avih":
                 if size < 40:
                     raise ValueError("avih header too short")

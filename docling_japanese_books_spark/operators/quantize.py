@@ -82,6 +82,8 @@ def train_pq_codebooks(
     number of distinct subvectors the codebook contains them all and
     encoding becomes EXACT (pytest pins that degenerate case)."""
     sample = np.asarray(sample, dtype=np.float64)
+    if sample.ndim != 2 or sample.shape[0] == 0:
+        raise ValueError("PQ training needs a non-empty (n, dim) sample")
     n, dim = sample.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

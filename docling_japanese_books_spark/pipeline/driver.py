@@ -518,7 +518,12 @@ def delete_where(
 
     ``predicate`` is a Column or SQL string over the table's columns.
     Returns a PipelineResult whose rows_out counts DELETED rows and whose
-    buckets_processed lists the rewritten buckets."""
+    buckets_processed lists the rewritten buckets.
+
+    NOTE (also applies to merge_into): a ``source``/predicate frame
+    LAZILY DERIVED from this same table would be re-evaluated during the
+    rewrite against partially overwritten partitions — materialize such
+    frames (collect/checkpoint) before calling."""
     t0 = time.time()
     m = read_manifest(spark, output_dir)
     if m is None or "snapshot" not in m.columns:
