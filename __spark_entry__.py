@@ -35,11 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 DEMOTED: dict[str, tuple[str, ...]] = {
     # round-5 retirements (VERDICT r4 #6: retire, don't demote, redundant
     # shapes): nations_per_region, orders_priority_histogram,
-    # top5_expensive_orders, doc_sha256 deleted outright — none carried a
-    # SURVEY §2 op, and their shapes stay green via q3_shipping_priority /
-    # corpus_stats / emb_cosine_topk / doc_dedup_exact.
-    # left_semi also green via doc_dedup_exact
-    "customers_with_orders": ("customers_without_orders", "doc_dedup_exact"),
+    # top5_expensive_orders, doc_sha256, customers_with_orders deleted
+    # outright — none carried a SURVEY §2 op, and their shapes stay green
+    # via q3_shipping_priority / corpus_stats / emb_cosine_topk /
+    # doc_dedup_exact / customers_without_orders (LeftSemi plan shape
+    # pinned inline in tests/test_plans.py).
     # trivial filter; F1-3/F6 ride other green queries
     "doc_nonempty": ("doc_lang_quality", "q1_pricing_summary"),
     # fires on planted twins; cosine family green via similarity_topk_batch
@@ -80,6 +80,10 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # lists, DIB stride/bottom-up math, real frame sampling) pinned by
     # tests/test_avi_codec.py hand-assembled fixture — demoted from birth
     "avi_video_roundtrip": ("wav_audio_roundtrip", "image_manifest"),
+    # ExactSubstr window dedup: first-occurrence ranking green via the
+    # exact-dedup row, the gaps-and-islands merge green via
+    # sessionization; planted-banner semantics pinned by tests/test_dedup
+    "dedup_substring_stats": ("doc_dedup_exact", "events_sessionization"),
     # C6 is plain ceil arithmetic; the shape rides richer green agg rows
     # (url_host_normalize promoted in its slot — new unique coverage)
     "doc_chunk_estimate": ("corpus_stats", "doc_token_stats"),

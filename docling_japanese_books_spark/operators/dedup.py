@@ -599,3 +599,123 @@ def dedup_paragraphs(
         .join(kept, id_col, "left")
         .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr dedup, detection half (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" rule,
+    applied at character granularity): every position whose ``min_len``-
+    character window also occurs earlier in the corpus (ordered by
+    (doc_id, pos); the FIRST occurrence survives) contributes a
+    duplicate interval [pos, pos+min_len). Overlapping intervals are
+    merged per document with a gaps-and-islands window.
+
+    Returns (id_col, span_start, span_end) — 0-based char intervals,
+    end exclusive — one row per merged removable span.
+
+    Scale shape: windows travel as (sha256, doc, pos) triples — one
+    shuffle on the window hash (first-occurrence ranking), one on the
+    doc id (island merge). Nothing is quadratic: a window duplicated n
+    times costs n rows, and the hash keeps the shuffle payload at
+    32 bytes + ids regardless of min_len. Map-side cost is O(n_chars x
+    min_len) per doc (JVM-side substring hashing, collision-free and
+    oracle-twinnable); at 100 TB swap the hashing projection for an
+    O(n_chars) Rabin-Karp rolling hash in a numpy UDF plus an equality
+    verify on survivors — the shuffles and the island algebra (the parts
+    that matter) stay identical."""
+    L = int(min_len)
+    n_wins = F.length(F.col(text_col)) - F.lit(L - 1)
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                n_wins >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_wins),
+                    lambda i: F.sha2(F.substring(F.col(text_col), i, L), 256),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_pos", "_h"),
+    )
+    w_first = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
+    dups = (
+        grams.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") > 1)
+        .select(id_col, F.col("_pos").alias("_start"))
+    )
+    # islands: a window starting <= L after the running max end extends
+    # the current span; otherwise a new island begins
+    w_doc = Window.partitionBy(id_col).orderBy("_start")
+    w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    spans = (
+        dups.withColumn("_end", F.col("_start") + F.lit(L))
+        .withColumn("_max_prev_end", F.max("_end").over(w_prev))
+        .withColumn(
+            "_new_island",
+            F.when(
+                F.col("_max_prev_end").isNull()
+                | (F.col("_start") > F.col("_max_prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new_island").over(w_doc))
+        .groupBy(id_col, "_island")
+        .agg(
+            # posexplode indexes are already 0-based character offsets
+            F.min("_start").alias("span_start"),
+            F.max("_end").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+    return spans
+
+
+def dedup_exact_substrings(
+    docs: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr dedup, removal half: cut every merged duplicate span
+    out of the text (first occurrence in corpus order survives intact).
+    Returns (id_col, text) for EVERY input document. Reassembly is one
+    Arrow stage over (text, collected spans per doc) — spans per doc are
+    bounded by len(text)/min_len, so the collect_list is safe."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spans = duplicate_substring_spans(docs, min_len, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+
+    @F.pandas_udf(T.StringType())
+    def cut(text: pd.Series, sp: pd.Series) -> pd.Series:
+        out = []
+        for t, spans_i in zip(text, sp):
+            if spans_i is None or len(spans_i) == 0:
+                out.append(t)
+                continue
+            parts, cursor = [], 0
+            for s in spans_i:
+                a, b = int(s["span_start"]), int(s["span_end"])
+                parts.append(t[cursor:a])
+                cursor = max(cursor, b)
+            parts.append(t[cursor:])
+            out.append("".join(parts))
+        return pd.Series(out)
+
+    return (
+        docs.select(id_col, text_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col, cut(F.col(text_col), F.col("_spans")).alias("text")
+        )
+    )

@@ -873,6 +873,97 @@ def wav_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_substring_stats",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || '#' || CAST(doc_id AS VARCHAR) || '#'
+                  || '<<shared-exact-substring-banner-for-window-dedup-test>>'
+                  || '@' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents),
+    g AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 40 + 2, 1))) AS pos
+      FROM aug),
+    h AS (
+      SELECT doc_id, pos, substr(text, CAST(pos AS INT), 40) AS gram FROM g),
+    r AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM h),
+    d AS (
+      SELECT doc_id, pos - 1 AS s, pos - 1 + 40 AS e FROM r WHERE rn > 1),
+    w AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS maxprev
+      FROM d),
+    i AS (
+      SELECT doc_id, s, e,
+             CASE WHEN maxprev IS NULL OR s > maxprev THEN 1 ELSE 0 END AS ni
+      FROM w),
+    isl AS (
+      SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM i),
+    spans AS (
+      SELECT doc_id, island, min(s) AS ss, max(e) AS se
+      FROM isl GROUP BY doc_id, island),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(se - ss) AS BIGINT) AS removed_chars
+      FROM spans GROUP BY doc_id)
+    SELECT a.doc_id,
+           coalesce(g2.n_spans, 0) AS n_spans,
+           coalesce(g2.removed_chars, 0) AS removed_chars,
+           CAST(length(a.text) AS BIGINT) - coalesce(g2.removed_chars, 0)
+             AS kept_chars
+    FROM aug a LEFT JOIN agg g2 ON a.doc_id = g2.doc_id
+    """,
+)
+def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup under the driver gate (Lee et al. 2021 window
+    rule, operators/dedup.duplicate_substring_spans): a shared 40+ char
+    banner is planted in every document between doc-unique sentinels, so
+    every doc except the first corpus occurrence must report exactly the
+    banner's merged island (plus any organic 40-char duplicates, which
+    both sides count identically). The oracle replays the whole
+    pipeline — window extraction, global first-occurrence ranking,
+    per-doc gaps-and-islands merge — in SQL."""
+    from ..operators.dedup import duplicate_substring_spans
+
+    L = 40
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("#"), F.col("doc_id").cast("string"), F.lit("#"),
+            F.lit("<<shared-exact-substring-banner-for-window-dedup-test>>"),
+            F.lit("@"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    spans = duplicate_substring_spans(docs, min_len=L)
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("removed_chars"),
+    )
+    return (
+        docs.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("removed_chars", F.lit(0)).alias("removed_chars"),
+            (
+                F.length("text").cast("long")
+                - F.coalesce("removed_chars", F.lit(0))
+            ).alias("kept_chars"),
+        )
+    )
+
+
 @query("similarity_topk_pq")
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (operators/quantize.py PQ section): train

@@ -152,24 +152,6 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "customers_with_orders",
-    """
-    SELECT c_custkey, c_name FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-)
-def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS). Scale: semi-join keeps only the probe side's
-    columns through the shuffle; AQE converts to broadcast when the build
-    side's distinct keys are small."""
-    cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-@query(
     "customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer

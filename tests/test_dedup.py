@@ -273,3 +273,76 @@ def test_decontamination_rerun_on_flagged_corpus(spark):
     twice = flag_contaminated(once, bench, n=5)
     assert {r.doc_id: r.contaminated for r in twice.collect()} == {1: True, 2: False}
     assert twice.columns.count("contaminated") == 1
+
+
+def test_exact_substring_dedup_planted_passage(spark):
+    """ExactSubstr (Lee et al. 2021): a long passage shared by three docs
+    survives only at its first corpus occurrence; later copies are cut
+    out exactly (windows crossing the boundary differ per doc, so the
+    merged island covers precisely the shared span)."""
+    from docling_japanese_books_spark.operators.dedup import (
+        dedup_exact_substrings,
+        duplicate_substring_spans,
+    )
+
+    # distinct boundary characters on every side, so the duplicated
+    # region is EXACTLY the shared passage (a shared boundary char would
+    # correctly extend the island by one — covered implicitly above)
+    shared = "this-exact-passage-is-long-enough-to-trip-the-window-rule"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha intro.{shared}X alpha outro."),
+            (2, f"beta text then:{shared}Y and beta tail"),
+            (3, f"{shared}Z gamma only suffix"),
+            (4, "entirely unique document with no duplication at all"),
+        ],
+        "doc_id long, text string",
+    )
+    L = 30
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in duplicate_substring_spans(docs, min_len=L).collect()
+    }
+    assert 1 not in spans and 4 not in spans  # first occurrence + unique
+    for d, base in ((2, "beta text then:"), (3, "")):
+        s, e = spans[d]
+        assert (s, e) == (len(base), len(base) + len(shared))
+
+    out = {r.doc_id: r.text for r in dedup_exact_substrings(docs, min_len=L).collect()}
+    assert out[1] == f"alpha intro.{shared}X alpha outro."
+    assert out[2] == "beta text then:Y and beta tail"
+    assert out[3] == "Z gamma only suffix"
+    assert out[4] == "entirely unique document with no duplication at all"
+
+
+def test_exact_substring_dedup_within_doc_and_islands(spark):
+    """Within-document repeats count too, and overlapping duplicate
+    windows merge into one island (an L-char run of a repeated block
+    yields contiguous duplicate starts)."""
+    from docling_japanese_books_spark.operators.dedup import (
+        dedup_exact_substrings,
+        duplicate_substring_spans,
+    )
+
+    block = "0123456789"
+    docs = spark.createDataFrame(
+        [(1, block + "xyz" + block + block)],  # repeat at 13 and 23
+        "doc_id long, text string",
+    )
+    spans = duplicate_substring_spans(docs, min_len=10).collect()
+    assert len(spans) == 1  # contiguous duplicates merged to one island
+    s = spans[0]
+    assert (s.span_start, s.span_end) == (13, 33)
+    out = dedup_exact_substrings(docs, min_len=10).collect()[0].text
+    assert out == block + "xyz"
+
+
+def test_exact_substring_dedup_short_docs_untouched(spark):
+    from docling_japanese_books_spark.operators.dedup import dedup_exact_substrings
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in dedup_exact_substrings(docs, min_len=50).collect()}
+    assert out == {1: "tiny", 2: "tiny", 3: ""}  # below window size: kept

@@ -55,9 +55,17 @@ def test_topk_is_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans("emb_cosine_topk")
 
 
-def test_semi_and_anti_joins(plans):
-    assert "LeftSemi" in plans("customers_with_orders")
+def test_semi_and_anti_joins(spark, plans):
     assert "LeftAnti" in plans("customers_without_orders")
+    # LeftSemi shape (the retired customers_with_orders query's only
+    # unique property) pinned inline: dedup_exact's keeper join
+    from docling_japanese_books_spark.operators.dedup import dedup_exact
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    semi_plan = (
+        dedup_exact(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in semi_plan
 
 
 def test_enrichment_join_broadcasts(plans):
