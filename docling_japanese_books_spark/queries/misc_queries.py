@@ -287,6 +287,68 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live_partitions(manifest, as_of=4)
 
 
+@query("sitemap_robots_crawl_filter")
+def sitemap_robots_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-selection layer (sources/sitemaps.py): per doc a sitemap
+    urlset and a robots.txt are synthesized in-plan, parsed with the
+    production mapInPandas/UDF paths, and the candidate url is checked
+    against the RFC 9309 rules (doc_id % 3 picks the governing pattern).
+    Rows-only; protocol semantics are pinned by tests/test_sitemaps.py."""
+    from ..sources.sitemaps import parse_sitemaps, robots_check_udf
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    n_urls = (d % 4 + 1).cast("int")
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_urls),
+                lambda i: F.concat(
+                    F.lit("<url><loc>https://site"), s(d % 50),
+                    F.lit(".example.com/p/"), s(d), F.lit("-"), s(i),
+                    F.lit("</loc><priority>0."), s(i), F.lit("</priority></url>"),
+                ),
+            ),
+            "",
+        ),
+        F.lit("</urlset>"),
+    )
+    sm = parse_sitemaps(
+        docs.select(
+            F.concat(F.lit("https://site"), s(d % 50), F.lit("/sitemap.xml"))
+            .alias("url"),
+            F.encode(xml, "utf-8").alias("payload"),
+        ),
+        url_col="url",
+    )
+    entries = sm.groupBy("sitemap_url").agg(
+        F.count(F.when(F.col("status") == "ok", 1)).alias("n_entries"),
+        F.max("priority").alias("max_priority"),
+    )
+    robots = F.concat(
+        F.lit("User-agent: corpusbot\nDisallow: /private/\n"
+              "Allow: /private/press/\nUser-agent: *\nDisallow: /p/"),
+        s(d % 3), F.lit("$\nSitemap: https://site"), s(d % 50),
+        F.lit("/sitemap.xml\n"),
+    )
+    path = F.concat(F.lit("/p/"), s(d % 3))
+    checked = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://site"), s(d % 50), F.lit("/sitemap.xml"))
+        .alias("sitemap_url"),
+        robots_check_udf("otherbot")(robots, path).alias("e"),
+    )
+    return checked.join(entries, "sitemap_url").select(
+        "doc_id",
+        F.col("e.allowed").alias("allowed"),
+        F.col("e.n_sitemaps").alias("n_sitemaps"),
+        "n_entries",
+        F.round("max_priority", 6).alias("max_priority"),
+    )
+
+
 @query(
     "snapshot_delete_travel",
     """
