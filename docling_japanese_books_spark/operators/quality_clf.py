@@ -1,0 +1,144 @@
+"""Learned quality classifier — the fastText-style filter of the
+published corpus recipes (CCNet / LLaMA / RedPajama pipelines score
+pages with a linear classifier over bag-of-n-gram features; the
+heuristic `textstats.quality_score` and the trigram `lm_quality` cover
+the rule-based and perplexity roles, this covers the LEARNED one).
+
+Model-free-dependency design, same statistical machinery as the public
+recipe:
+
+- **Features**: hashing trick over lowercased word unigrams + bigrams
+  (splitmix-mixed 64-bit hashes modulo ``dim``), L2-normalized counts —
+  no vocabulary object to ship, the feature space is a pure function.
+- **Training**: deterministic full-batch logistic regression (numpy,
+  fixed epochs/lr/seed) on a BOUNDED labeled sample driver-side — the
+  model is the artifact (a dim-length weight vector, KBs), exactly the
+  bounded-collect pattern of lm_quality's trusted counts and PQ's
+  codebooks.
+- **Scoring**: one Arrow-batched UDF, weights in the closure, a sparse
+  dot product per document — shuffle-free over any corpus size.
+
+Negative examples for self-supervised training come from
+``scramble_words`` (deterministic per-seed word shuffling): fluent text
+keeps its word ORDER statistics, scrambled text keeps only its
+vocabulary — precisely what the bigram features detect.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MIX = 0x9E3779B97F4A7C15
+
+
+def _h64(s: str) -> int:
+    """Deterministic 64-bit string hash (FNV-1a folded with splitmix) —
+    stable across processes, unlike Python's salted hash()."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8", "surrogatepass"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    h = (h * _MIX) & 0xFFFFFFFFFFFFFFFF
+    return h ^ (h >> 29)
+
+
+def hash_features(text: str, dim: int = 1 << 16) -> Dict[int, float]:
+    """Sparse L2-normalized unigram+bigram counts under the hashing
+    trick: {feature index: weight}."""
+    words = (text or "").lower().split()
+    counts: Dict[int, float] = {}
+    for i, w in enumerate(words):
+        counts[_h64(w) % dim] = counts.get(_h64(w) % dim, 0.0) + 1.0
+        if i + 1 < len(words):
+            k = _h64(w + "\x1f" + words[i + 1]) % dim
+            counts[k] = counts.get(k, 0.0) + 1.0
+    norm = sum(v * v for v in counts.values()) ** 0.5
+    if norm > 0:
+        counts = {k: v / norm for k, v in counts.items()}
+    return counts
+
+
+def scramble_words(text: str, seed: int = 0) -> str:
+    """Deterministic word-order destruction (the self-supervised negative
+    class): same vocabulary, no fluency."""
+    words = (text or "").split()
+    rng = random.Random(seed ^ len(words))
+    rng.shuffle(words)
+    return " ".join(words)
+
+
+def train_quality_classifier(
+    positives: Sequence[str],
+    negatives: Sequence[str],
+    dim: int = 1 << 16,
+    epochs: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> Tuple["np.ndarray", float]:
+    """Full-batch logistic regression on the bounded labeled sample;
+    returns (weights[dim], bias). Deterministic: zero init, fixed
+    schedule, no sampling."""
+    feats = [hash_features(t, dim) for t in positives] + [
+        hash_features(t, dim) for t in negatives
+    ]
+    y = np.array([1.0] * len(positives) + [0.0] * len(negatives))
+    if len(feats) == 0:
+        raise ValueError("classifier training needs labeled examples")
+    w = np.zeros(dim)
+    b = 0.0
+    n = len(feats)
+    for _ in range(epochs):
+        grad_w = np.zeros(dim)
+        grad_b = 0.0
+        for f, yi in zip(feats, y):
+            z = b + sum(w[k] * v for k, v in f.items())
+            p = 1.0 / (1.0 + np.exp(-z))
+            err = p - yi
+            for k, v in f.items():
+                grad_w[k] += err * v
+            grad_b += err
+        w -= lr * (grad_w / n + l2 * w)
+        b -= lr * grad_b / n
+    return w, float(b)
+
+
+def quality_score_udf(weights: "np.ndarray", bias: float, dim: int = 1 << 16):
+    """text -> P(high quality) as one Arrow stage; the weight vector
+    (dim floats, KBs-to-MBs) rides the closure."""
+    w = np.asarray(weights, dtype=np.float64)
+
+    @F.pandas_udf(T.DoubleType())
+    def score(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts))
+        for i, t in enumerate(texts):
+            f = hash_features(t or "", dim)
+            z = bias + sum(w[k] * v for k, v in f.items())
+            out[i] = 1.0 / (1.0 + np.exp(-z))
+        return pd.Series(out)
+
+    return score
+
+
+def self_supervised_model(
+    corpus: DataFrame,
+    text_col: str = "text",
+    sample_size: int = 200,
+    dim: int = 1 << 16,
+    id_col: str = "doc_id",
+) -> Tuple["np.ndarray", float]:
+    """Train the quality model from the corpus itself: the first
+    ``sample_size`` documents (by id — deterministic) are the fluent
+    positives; their word-scrambled twins are the negatives. One bounded
+    collect, then driver-side training."""
+    rows = (
+        corpus.select(id_col, text_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    pos = [r[text_col] or "" for r in rows]
+    neg = [scramble_words(t, seed=i) for i, t in enumerate(pos)]
+    return train_quality_classifier(pos, neg, dim=dim)

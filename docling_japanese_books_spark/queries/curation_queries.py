@@ -998,6 +998,27 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_quality_model_score")
+def doc_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (operators/quality_clf.py, the fastText-
+    style role of CCNet/RedPajama): a logistic model over hashed
+    unigram+bigram features is trained self-supervised (corpus docs vs
+    their word-scrambled twins, bounded sample) and every document is
+    scored in one Arrow stage. Rows-only — iterative training has no
+    ANSI twin; separability and determinism pinned by
+    tests/test_quality_clf.py."""
+    from ..operators.quality_clf import quality_score_udf, self_supervised_model
+
+    docs = t(spark, sf_dir, "documents")
+    w, b = self_supervised_model(docs, sample_size=100, dim=1 << 14)
+    return docs.select(
+        "doc_id",
+        F.round(
+            quality_score_udf(w, b, 1 << 14)(F.col("text")), 6
+        ).alias("quality_p"),
+    )
+
+
 @query("doc_bpe_tokens")
 def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE tokenization over the corpus (operators/bpe.py): merges
