@@ -780,6 +780,106 @@ def merge_into(
     )
 
 
+def compact_buckets(
+    spark: SparkSession,
+    output_dir: str,
+    run_id: str,
+    buckets: Optional[Sequence[int]] = None,
+    target_files: int = 1,
+) -> PipelineResult:
+    """Table maintenance: rewrite each live bucket's (possibly many small)
+    data files into ``target_files`` files under a NEW snapshot — the
+    Iceberg rewrite_data_files analog, completing the maintenance trio
+    with delete_where/merge_into (same copy-on-write + crash contract)
+    and expire_snapshots (which reclaims the superseded partitions).
+    Row content is bit-identical by construction; only the file layout
+    changes. ``buckets=None`` compacts every live bucket."""
+    t0 = time.time()
+    m = read_manifest(spark, output_dir)
+    if m is None or "snapshot" not in m.columns:
+        raise ValueError(f"no snapshot manifest at {output_dir}")
+    prev_snap = int(m.agg(F.max("snapshot")).collect()[0][0] or 0)
+    live = {int(r.bucket) for r in live_partitions(m).collect()}
+    targets = sorted(live if buckets is None else (set(map(int, buckets)) & live))
+    if not targets:
+        return PipelineResult([], sorted(live), 0, prev_snap)
+    clash = sorted(
+        r.bucket
+        for r in m.filter(
+            (F.col("run_id") == run_id)
+            & F.col("bucket").isin([int(b) for b in targets])
+        )
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"run_id {run_id!r} already holds snapshot data for buckets "
+            f"{clash[:8]}{'...' if len(clash) > 8 else ''}; compact under a "
+            "fresh run_id"
+        )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    current = read_snapshot(spark, output_dir)
+    (
+        current.filter(F.col("bucket").isin([int(b) for b in targets]))
+        .drop("run_id")
+        .withColumn("run_id", F.lit(run_id))
+        .repartition(max(1, target_files) * len(targets), "bucket")
+        .sortWithinPartitions("bucket")
+        .write.partitionBy("bucket", "run_id")
+        .mode("overwrite")
+        .parquet(_data_path(output_dir))
+    )
+    committed = (
+        spark.read.parquet(_data_path(output_dir))
+        .filter(F.col("run_id") == run_id)
+        .filter(F.col("bucket").isin([int(b) for b in targets]))
+    )
+    stats = {
+        int(r.bucket): r
+        for r in committed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows_out"),
+            F.sum("blocks_kept").alias("blocks_kept"),
+            F.sum("blocks_dropped").alias("blocks_dropped"),
+            F.sum(
+                F.when(
+                    F.col("status").isin("decode_error", "parse_error"), 1
+                ).otherwise(0)
+            ).alias("parse_failures"),
+        )
+        .collect()
+    }
+    wall_ms = int((time.time() - t0) * 1000)
+    snapshot = prev_snap + 1
+    manifest_rows = []
+    total = 0
+    for b in targets:
+        r = stats.get(b)
+        total += int(r.rows_out) if r else 0
+        manifest_rows.append(
+            (
+                int(b), run_id, "compact", "done",
+                int(r.rows_out) if r else 0,  # rows_in == rows_out: rewrite
+                int(r.rows_out) if r else 0,
+                int(r.blocks_kept) if r else 0,
+                int(r.blocks_dropped) if r else 0,
+                int(r.parse_failures) if r else 0,
+                wall_ms, snapshot,
+            )
+        )
+    spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(_manifest_path(output_dir))
+    return PipelineResult(
+        buckets_processed=[int(b) for b in targets],
+        buckets_skipped=sorted(live - set(targets)),
+        rows_out=total,
+        snapshot=snapshot,
+    )
+
+
 def snapshots(spark: SparkSession, output_dir: str) -> DataFrame:
     """The snapshot log: one row per snapshot with its run lineage and
     aggregate metrics (what Iceberg surfaces as the snapshots table)."""

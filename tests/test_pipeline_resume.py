@@ -611,3 +611,47 @@ def test_merge_into_kill_and_resume(spark, out_dir):
     assert mr.rows_out > 0
     with pytest.raises(ValueError, match="already holds snapshot data"):
         merge_into(spark, out_dir, src, run_id="m1")
+
+
+def test_compact_buckets_preserves_rows_and_history(spark, out_dir):
+    """Compaction rewrites live buckets into fewer files as a new
+    snapshot: row content identical, file count reduced, pre-compaction
+    time travel intact, expiry can then reclaim the old layout."""
+    import glob
+
+    from docling_japanese_books_spark.pipeline.driver import (
+        compact_buckets,
+        read_snapshot,
+    )
+
+    pages = generate_pages(spark, N_PAGES, seed=42)
+    # many small files per bucket: repartition the input wide
+    r1 = run_extraction_pipeline(
+        spark, pages.repartition(16), out_dir, run_id="r1",
+        n_buckets=4, versioned=True,
+    )
+    before = read_snapshot(spark, out_dir)
+    rows_before = sorted(
+        (r.url, r.text) for r in before.select("url", "text").collect()
+    )
+    files_before = len(glob.glob(f"{out_dir}/data/bucket=*/run_id=r1/*.parquet"))
+    assert files_before > 4  # genuinely fragmented
+
+    c = compact_buckets(spark, out_dir, run_id="cmp1")
+    assert c.snapshot == r1.snapshot + 1
+    after = read_snapshot(spark, out_dir)
+    rows_after = sorted(
+        (r.url, r.text) for r in after.select("url", "text").collect()
+    )
+    assert rows_after == rows_before  # bit-identical content
+    files_after = len(glob.glob(f"{out_dir}/data/bucket=*/run_id=cmp1/*.parquet"))
+    assert files_after <= 4 < files_before  # ~one file per bucket
+
+    travel = read_snapshot(spark, out_dir, as_of=r1.snapshot)
+    assert travel.count() == before.count()
+
+    # guards: run_id reuse and no-op on empty target set
+    with pytest.raises(ValueError, match="already holds snapshot data"):
+        compact_buckets(spark, out_dir, run_id="cmp1")
+    noop = compact_buckets(spark, out_dir, run_id="cmp2", buckets=[999])
+    assert noop.buckets_processed == [] and noop.snapshot == c.snapshot
