@@ -196,3 +196,24 @@ def test_interval_join_is_equi_join(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Join" in p
+
+
+def test_substring_dedup_detection_is_declarative(spark):
+    """The ExactSubstr detection half is pure codegen (window hashing +
+    two shuffles, no Python); only the reassembly adds one Arrow stage."""
+    from docling_japanese_books_spark.operators.dedup import (
+        dedup_exact_substrings,
+        duplicate_substring_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spans_plan = (
+        duplicate_substring_spans(docs, min_len=40)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in spans_plan and "BatchEvalPython" not in spans_plan
+    full_plan = (
+        dedup_exact_substrings(docs, min_len=40)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert full_plan.count("ArrowEvalPython") == 1
