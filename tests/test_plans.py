@@ -175,7 +175,9 @@ def test_codec_roundtrips_single_python_stage(plans):
     # scan — no shuffle, no duplicated UDF evaluation: at 100 TB these
     # run as pure map stages
     for name in ("jpeg_pixel_roundtrip", "gif_pixel_roundtrip",
-                 "wav_audio_roundtrip", "png_pixel_roundtrip"):
+                 "wav_audio_roundtrip", "png_pixel_roundtrip",
+                 "tiff_pixel_roundtrip", "webp_pixel_roundtrip",
+                 "avi_video_roundtrip"):
         p = plans(name)
         assert p.count("ArrowEvalPython") == 1, name
         assert "Exchange" not in p, name
