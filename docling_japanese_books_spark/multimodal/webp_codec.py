@@ -14,12 +14,13 @@ Decoder contract (house rule): malformed or out-of-subset input raises
 ``ValueError`` only. Out of subset: lossy VP8 chunks and extended VP8X
 containers are rejected explicitly (this is a LOSSLESS decoder).
 
-The writer emits the minimal conforming subset — no transforms, no
-cache, one prefix-code group, SIMPLE codes — which can encode any image
-with at most two distinct values per channel (checkerboards, text
-masks); that is enough for deterministic roundtrip fixtures and the
-oracle query, while richer streams (full prefix codes, LZ77, cache,
-transforms) are covered by hand-assembled external fixtures in
+The writer is a full lossless encoder for arbitrary images: literal-only
+streams (no LZ77/cache/transforms — always valid, compression from the
+entropy coding alone) with per-channel frequency-built prefix trees
+emitted in the code-length-coded form, falling back to SIMPLE codes for
+<= 2-symbol channels. Decode-side features the encoder never emits
+(LZ77 references, color cache, all four transforms, meta groups) are
+covered by hand-assembled external bitstreams in
 tests/test_webp_codec.py.
 """
 
