@@ -43,12 +43,16 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # trivial filter; F1-3/F6 ride other green queries
     "doc_nonempty": ("doc_lang_quality", "q1_pricing_summary"),
     # fires on planted twins; cosine family green via similarity_topk_batch
-    "emb_near_dup_pairs": ("similarity_topk_batch", "emb_pairwise_stats"),
+    # (r6: emb_pairwise_stats surrogate was itself demoted in r5 — re-point
+    # at the in-window adjacent-pair cosine flagship)
+    "emb_near_dup_pairs": ("similarity_topk_batch", "emb_context_preservation"),
     # equality filter; F-family rides other greens
     "search_filtered": ("doc_indicator_flags", "q3_shipping_priority"),
     "best_event_type_per_user": ("best_doc_per_source",),  # argmax shape
     "event_type_wins": ("events_type_stats",),  # win-count agg
-    "doc_preview": ("image_manifest", "doc_file_stem"),  # substring/head-n
+    # substring/head-n (r6: doc_file_stem surrogate was demoted in r5 —
+    # url_host_normalize carries the in-window string-extraction shape)
+    "doc_preview": ("image_manifest", "url_host_normalize"),
     # round-3 swaps: unique shapes promoted in; redundant greens out
     "emb_cosine_topk": ("similarity_topk_batch",),  # brute-force cosine top-k
     "quantization_storage": ("emb_quantize_int8",),  # A14; real kernels green
@@ -92,8 +96,9 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # the index -> byte-range -> WARC fetch e2e)
     "cdx_parse": ("events_json_props", "events_hourly_by_type"),
     # same UDF-projection shape as the in-window extract row; charset
-    # specifics pinned by tests/test_charset.py
-    "charset_extract": ("extract_roundtrip", "doc_japanese_confidence"),
+    # specifics pinned by tests/test_charset.py (r6: doc_japanese_confidence
+    # surrogate was demoted in r5 — indicator flags carry the script algebra)
+    "charset_extract": ("extract_roundtrip", "doc_indicator_flags"),
     # n-gram slide + membership join shapes green in-window; the planted
     # contamination case is pinned by tests/test_dedup.py
     "doc_decontaminate": ("dedup_ngram_jaccard", "customers_without_orders"),

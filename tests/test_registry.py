@@ -130,8 +130,16 @@ def test_demoted_surrogates_are_green_in_latest_correctness():
     problems = {}
     for demoted_name, surrogates in entry.DEMOTED.items():
         assert surrogates, f"{demoted_name} demoted without surrogates"
+        # r6 hardening: a surrogate that is itself demoted can silently
+        # orphan the chain when a later round drops it out of the window
+        # (the r5 emb_pairwise_stats/doc_file_stem/doc_japanese_confidence
+        # episode) — reject demoted surrogates outright, independent of
+        # whatever the latest CORRECTNESS file happens to contain.
+        self_demoted = [s for s in surrogates if s in entry.DEMOTED]
         missing = [s for s in surrogates if s not in green]
-        if missing:
+        if self_demoted:
+            problems[demoted_name] = [f"{s} (itself demoted)" for s in self_demoted]
+        elif missing:
             problems[demoted_name] = missing
     assert not problems, (
         f"demoted queries whose surrogates are not green in {files[-1].name}: "
