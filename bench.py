@@ -248,6 +248,31 @@ def load_query_floors() -> dict:
     return floors
 
 
+def load_scaling_floors() -> dict:
+    """Cross-run best docs/sec per scaling config from every prior
+    BENCH_r*.json (throughput, so records with different corpus sizes
+    stay comparable). Same discipline as load_query_floors: PURE
+    METADATA — visits, reps, and scheduling stay unconditional; the
+    floors exist so a scaling record taken on an eaten window
+    self-identifies instead of reading as a regression (round-5's
+    driver record read 0.60-0.72 with a big-side min 1.5x above its
+    cross-run best, and nothing in the record said so)."""
+    floors: dict = {"small": 0.0, "big": 0.0}
+    for f in sorted(REPO.glob("BENCH_r*.json")):
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if "extract_scaling" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        sc = data.get("extract_scaling") or {}
+        for which in ("small", "big"):
+            dps = sc.get(f"docs_per_sec_{which}")
+            if isinstance(dps, (int, float)):
+                floors[which] = max(floors[which], float(dps))
+    return floors
+
+
 def run_headline(spark) -> dict:
     import __spark_entry__ as entry
 
@@ -387,6 +412,24 @@ def main() -> None:
             if query_floors[q] > 0 and times[q] > 2.0 * query_floors[q]
         }
 
+        # scaling floor metadata (see load_scaling_floors): a config whose
+        # best visit throughput sits >25% below its cross-run best was
+        # measured on an eaten window — the 2x rule used for headline
+        # queries is too lax here because the efficiency RATIO inherits a
+        # one-sided slowdown linearly (r5: big side 1.5x over floor with a
+        # quiet small side read as 0.60 efficiency). Flags mark the record
+        # loud; they never change what ran.
+        prior_scaling = load_scaling_floors()
+        dps_now = {"small": dps_small, "big": dps_big}
+        scaling_floors = {
+            w: round(max(dps_now[w], prior_scaling[w]), 1) for w in dps_now
+        }
+        scaling_floor_exceeded = {
+            w: round(scaling_floors[w] / dps_now[w], 2)
+            for w in dps_now
+            if dps_now[w] > 0 and scaling_floors[w] > 1.25 * dps_now[w]
+        }
+
         result = {
             "metric": "headline_queries_total_wall",
             "value": round(sum(times.values()), 3),
@@ -413,6 +456,9 @@ def main() -> None:
                 "pairs_scheduled": N_PAIRS,
                 "samples_small": [round(x, 2) for x in samples[N_SMALL]],
                 "samples_big": [round(x, 2) for x in samples[N_BIG]],
+                "docs_per_sec_floors": scaling_floors,
+                "scaling_floor_exceeded": scaling_floor_exceeded,
+                "scaling_floor_exceeded_any": bool(scaling_floor_exceeded),
             },
             "bench_total_sec": round(time.time() - t_start, 1),
         }

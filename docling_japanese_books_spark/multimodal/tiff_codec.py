@@ -11,7 +11,11 @@ PIL. Scope is the baseline subset that covers them:
 - 8 bits per sample; PhotometricInterpretation 0 (WhiteIsZero,
   inverted), 1 (BlackIsZero), 2 (RGB, SamplesPerPixel >= 3 with extra
   samples dropped), 3 (palette via ColorMap, 16-bit entries scaled);
-- Compression 1 (none) and 32773 (PackBits, per-strip);
+- Compression 1 (none), 5 (LZW per TIFF 6.0 §13: MSB-first bit
+  packing, ClearCode 256 / EOI 257, the spec's EARLY code-width change
+  at table sizes 511/1023/2047, Clear emitted at 4094) and 32773
+  (PackBits), all per-strip; Predictor 2 (horizontal differencing,
+  §14) honored on decode and available on encode;
 - strip layout (StripOffsets/StripByteCounts/RowsPerStrip); tiled TIFF
   is out of subset and rejected.
 
@@ -42,6 +46,7 @@ TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_COUNTS = 279
 TAG_COLORMAP = 320
 TAG_TILE_WIDTH = 322
+TAG_PREDICTOR = 317
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I"}
@@ -96,6 +101,137 @@ def packbits_encode(data: bytes) -> bytes:
         out += bytes([j - i - 1]) + data[i:j]
         i = j
     return bytes(out)
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_decode(data: bytes, expected: Optional[int] = None) -> bytes:
+    """TIFF 6.0 §13 LZW: 9..12-bit codes packed MSB-first, table reset on
+    ClearCode, and the spec's EARLY width change — the decoder widens when
+    the table reaches 510/1022/2046 entries-beyond-literals plus specials
+    (i.e. one code earlier than GIF), matching the encoder's "switch when
+    the table size hits 511/1023/2047 AFTER adding" rule as seen from the
+    side that is one entry behind."""
+    out = bytearray()
+    table: List[bytes] = []
+    width = 9
+    prev: Optional[bytes] = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                # data exhausted without EOI: accept only if we produced
+                # exactly the expected payload (some writers omit EOI)
+                if expected is not None and len(out) != expected:
+                    raise ValueError("LZW stream truncated")
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _LZW_CLEAR:
+            table = []
+            width = 9
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if prev is None:
+            if code > 255:
+                raise ValueError(f"LZW: first code after clear is {code}")
+            entry = bytes([code])
+        elif code < 256:
+            entry = bytes([code])
+        elif code - 258 < len(table):
+            entry = table[code - 258]
+        elif code - 258 == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"LZW: code {code} beyond table")
+        out += entry
+        if expected is not None and len(out) > expected:
+            raise ValueError("LZW output exceeds expected strip size")
+        if prev is not None:
+            table.append(prev + entry[:1])
+            # early change: encoder widened when its table (258 + added)
+            # reached 511/1023/2047; the decoder is one entry behind
+            if 258 + len(table) in (510, 1022, 2046) and width < 12:
+                width += 1
+        prev = entry
+    if expected is not None and len(out) != expected:
+        raise ValueError(
+            f"LZW strip decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Matched TIFF §13 LZW writer: emits ClearCode first, widens at table
+    sizes 511/1023/2047 (early change), resets at 4094."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    width = 9
+    put(_LZW_CLEAR, width)
+    table: dict = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    omega = b""
+    for b in data:
+        cand = omega + bytes([b])
+        if cand in table:
+            omega = cand
+            continue
+        put(table[omega], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code in (511, 1023, 2047):
+            width += 1
+        omega = bytes([b])
+        if next_code == 4094:
+            put(table[omega], width)
+            put(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            omega = b""
+    if omega:
+        put(table[omega], width)
+    put(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _undo_predictor2(strip: bytes, n_rows: int, width: int, samples: int) -> bytes:
+    """TIFF §14 Predictor 2 (horizontal differencing): each sample stores
+    the delta to the same sample one pixel left; undo = cumsum mod 256."""
+    a = np.frombuffer(strip, dtype=np.uint8).reshape(n_rows, width, samples)
+    return np.cumsum(a, axis=1, dtype=np.uint8).tobytes()
+
+
+def _apply_predictor2(strip: bytes, n_rows: int, width: int, samples: int) -> bytes:
+    a = (
+        np.frombuffer(strip, dtype=np.uint8)
+        .reshape(n_rows, width, samples)
+        .astype(np.int16)
+    )
+    d = np.diff(a, axis=1, prepend=a[:, :1, :])
+    d[:, 0, :] = a[:, 0, :]
+    return (d % 256).astype(np.uint8).tobytes()
 
 
 def _read_ifd(data: bytes, bo: str, off: int) -> dict:
@@ -164,8 +300,11 @@ def tiff_to_pixels(data: bytes) -> "np.ndarray":
     if any(int(b) != 8 for b in bits):
         raise ValueError(f"only 8 bits/sample supported, got {bits}")
     comp = one(TAG_COMPRESSION, 1)
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
+    predictor = one(TAG_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     photometric = one(TAG_PHOTOMETRIC, 1)
     offsets = e.get(TAG_STRIP_OFFSETS)
     counts = e.get(TAG_STRIP_COUNTS)
@@ -186,6 +325,12 @@ def tiff_to_pixels(data: bytes) -> "np.ndarray":
         expected = n_rows * row_bytes
         if comp == 32773:
             strip = packbits_decode(strip, expected)
+        elif comp == 5:
+            strip = lzw_decode(strip, expected)
+        if predictor == 2:
+            if len(strip) < expected:
+                raise ValueError(f"strip {i} short for predictor undo")
+            strip = _undo_predictor2(strip[:expected], n_rows, width, samples)
         if len(strip) < expected:
             raise ValueError(
                 f"strip {i} short: {len(strip)} < {expected} bytes"
@@ -219,9 +364,15 @@ def pixels_to_tiff(
     compression: int = 1,
     byte_order: str = "<",
     rows_per_strip: Optional[int] = None,
+    predictor: int = 1,
 ) -> bytes:
     """uint8 pixels ((h, w) gray or (h, w, 3) RGB) -> baseline TIFF bytes
-    (fixture writer; strip layout, optional PackBits, either byte order)."""
+    (fixture writer; strip layout, optional PackBits or LZW §13 with
+    optional horizontal-differencing predictor, either byte order)."""
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"writer supports compression 1/5/32773, not {compression}")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 2:
         h, w, samples, photometric = px.shape[0], px.shape[1], 1, 1
@@ -237,8 +388,15 @@ def pixels_to_tiff(
     rps = rows_per_strip or h
     strips: List[bytes] = []
     for y0 in range(0, h, rps):
+        n_rows = min(rps, h - y0)
         strip = flat[y0 : y0 + rps].tobytes()
-        strips.append(packbits_encode(strip) if compression == 32773 else strip)
+        if predictor == 2:
+            strip = _apply_predictor2(strip, n_rows, w, samples)
+        if compression == 32773:
+            strip = packbits_encode(strip)
+        elif compression == 5:
+            strip = lzw_encode(strip)
+        strips.append(strip)
 
     magic = b"II*\x00" if bo == "<" else b"MM\x00*"
     # layout: header(8) | strip data | BitsPerSample array | IFD
@@ -268,6 +426,9 @@ def pixels_to_tiff(
         (TAG_ROWS_PER_STRIP, 3, 1, [min(rps, 65535)]),
         (TAG_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips]),
     ]
+    if predictor == 2:
+        # IFD entries must stay in ascending tag order: 317 follows 279
+        entries.append((TAG_PREDICTOR, 3, 1, [2]))
     # multi-strip offset/count arrays won't fit inline; append after IFD
     tail_off = ifd_off + 2 + 12 * len(entries) + 4
     tail = bytearray()

@@ -51,10 +51,17 @@ def _resolve_centroids(
 ) -> "np.ndarray":
     if centroids is not None:
         return np.asarray(centroids, dtype=np.float64)
+    # default seeds by hash order of the id: deterministic AND spread over
+    # the corpus (first-N-by-id seeds cluster whenever ids correlate with
+    # insert order — round-5 verdict flag)
     return np.array(
         [
             [float(x) for x in r[0]]
-            for r in corpus.select(vec_col).orderBy(corpus_id).limit(n_cells).collect()
+            for r in corpus.select(vec_col, corpus_id)
+            .orderBy(F.xxhash64(corpus_id), corpus_id)
+            .limit(n_cells)
+            .select(vec_col)
+            .collect()
         ],
         dtype=np.float64,
     )

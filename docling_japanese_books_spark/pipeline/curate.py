@@ -4,9 +4,11 @@ raw extracted pages into an LLM-training-ready corpus.
     extracted pages
       -> NFKC normalization (X12)
       -> language id + quality scoring (textstats)
-      -> quality gate
+      -> quality gate (+ optional learned-classifier gate, quality_clf)
       -> exact dedup (sha256 of normalized text, lowest url wins)
       -> near-dup removal (MinHash LSH, keep lexicographically-first url)
+      -> optional ExactSubstr cut (Lee et al. window rule: duplicated
+         >=min_len-char spans removed, first corpus occurrence survives)
       -> curated corpus + per-stage survival report
 
 Every stage is a DataFrame transform; the report is a tiny aggregate over
@@ -33,6 +35,10 @@ class CurationReport:
     rows_quality_pass: int
     rows_after_exact_dedup: int
     rows_after_near_dedup: int
+    # optional stages (None = stage not enabled)
+    rows_model_quality_pass: "int | None" = None
+    rows_after_substring_cut: "int | None" = None
+    substring_chars_removed: "int | None" = None
 
 
 def curate_corpus(
@@ -42,6 +48,9 @@ def curate_corpus(
     near_dup_threshold: float = 0.85,
     url_col: str = "url",
     text_col: str = "text",
+    model_quality_min: "float | None" = None,
+    model_sample_size: int = 200,
+    substring_min_len: "int | None" = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Returns (curated corpus, survival report). Deterministic: survivors
     of each dedup stage are the minimum-url member of every duplicate set.
@@ -66,6 +75,27 @@ def curate_corpus(
     ).collect()[0]
     gated = scored.filter(gate)
 
+    # optional learned-quality gate (quality_clf): train self-supervised
+    # on a bounded hash-ordered sample of the heuristic survivors (reads
+    # the cache), then score every survivor in one Arrow stage. Persisted
+    # so the scoring UDF — like the normalize UDF — runs once across the
+    # dedup counts and the final write.
+    rows_model = None
+    model_scored = None
+    if model_quality_min is not None:
+        from ..operators.quality_clf import quality_score_udf, self_supervised_model
+
+        dim = 1 << 14
+        w, b = self_supervised_model(
+            gated, text_col=text_col, sample_size=model_sample_size,
+            dim=dim, id_col=url_col,
+        )
+        model_scored = gated.withColumn(
+            "model_quality", quality_score_udf(w, b, dim)(F.col(text_col))
+        ).filter(F.col("model_quality") >= model_quality_min).persist()
+        rows_model = model_scored.count()
+        gated = model_scored
+
     # exact dedup: hash in the projection, min(url) per hash survives
     hashed = gated.withColumn("_h", F.sha2(F.col(text_col), 256))
     keepers = hashed.groupBy("_h").agg(F.min(url_col).alias(url_col))
@@ -80,12 +110,49 @@ def curate_corpus(
     losers = pairs.select(F.col("id_b").alias(url_col)).distinct()
     curated = exact.join(losers, [url_col], "left_anti").persist()
     rows_near = curated.count()  # materializes the returned frame
-    scored.unpersist()  # curated is materialized; upstream cache can go
+
+    # optional ExactSubstr cut (Lee et al. 2021 window rule): duplicated
+    # >=substring_min_len-char spans are removed corpus-wide, first
+    # occurrence (lowest url, position) surviving intact; rows whose text
+    # is entirely boilerplate drop out. Reads the persisted near-dup
+    # survivors, so the gram/anchor stages never recompute the UDF chain.
+    rows_cut = None
+    chars_removed = None
+    if substring_min_len is not None:
+        from ..operators.dedup import dedup_exact_substrings
+
+        chars_before = curated.agg(
+            F.coalesce(F.sum(F.length(text_col)), F.lit(0))
+        ).collect()[0][0]
+        cut = dedup_exact_substrings(
+            curated, min_len=substring_min_len, id_col=url_col, text_col=text_col
+        )
+        final = (
+            curated.drop(text_col)
+            .join(cut, url_col)
+            .filter(F.length(text_col) > 0)
+            .persist()
+        )
+        stats = final.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias("chars"),
+        ).collect()[0]
+        rows_cut = int(stats.n)
+        chars_removed = int(chars_before) - int(stats.chars)
+        curated.unpersist()
+        curated = final
+
+    scored.unpersist()  # curated is materialized; upstream caches can go
+    if model_scored is not None:
+        model_scored.unpersist()
 
     report = CurationReport(
         rows_in=int(head.rows_in),
         rows_quality_pass=int(head.rows_quality),
         rows_after_exact_dedup=rows_exact,
         rows_after_near_dedup=rows_near,
+        rows_model_quality_pass=rows_model,
+        rows_after_substring_cut=rows_cut,
+        substring_chars_removed=chars_removed,
     )
     return curated, report

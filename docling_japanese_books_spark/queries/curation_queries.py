@@ -194,10 +194,12 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("curate_corpus_report")
 def curate_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full curation pass (normalize -> lang/quality gate -> exact dedup ->
-    near dedup) over the synthetic pages corpus with planted duplicates;
-    returns the survival funnel as one row. Rows-only (stage semantics
-    pinned by tests/test_curate.py)."""
+    """Full FIVE-stage curation pass (normalize -> heuristic + learned
+    quality gates -> exact dedup -> near dedup -> ExactSubstr cut) over
+    the synthetic pages corpus with planted duplicates; returns the
+    survival funnel as one row. Rows-only (stage semantics pinned by
+    tests/test_curate.py; the two round-6 stages by
+    test_curation_with_model_and_substring_stages)."""
     from ..extraction.html import extract_pages
     from ..extraction.pages import generate_pages
     from ..pipeline.curate import curate_corpus
@@ -206,17 +208,27 @@ def curate_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted = extract_pages(pages).select(
         "url", F.col("extracted.text").alias("text"), "lang"
     )
-    _, report = curate_corpus(extracted, min_quality=0.2)
+    _, report = curate_corpus(
+        extracted,
+        min_quality=0.2,
+        model_quality_min=0.05,
+        model_sample_size=100,
+        substring_min_len=60,
+    )
     return spark.createDataFrame(
         [
             (
                 report.rows_in,
                 report.rows_quality_pass,
+                report.rows_model_quality_pass,
                 report.rows_after_exact_dedup,
                 report.rows_after_near_dedup,
+                report.rows_after_substring_cut,
+                report.substring_chars_removed,
             )
         ],
-        "rows_in long, quality_pass long, after_exact long, after_near long",
+        "rows_in long, quality_pass long, model_pass long, after_exact long,"
+        " after_near long, after_cut long, cut_chars long",
     )
 
 
@@ -562,7 +574,8 @@ def tiff_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-TIFF decode under the gate (multimodal/tiff_codec —
     the scanned-book master format the reference's domain ships): the same
     deterministic gradient as the PNG row is written as a genuine TIFF,
-    cycling byte order (doc_id%2), compression none/PackBits (doc_id%4//2)
+    cycling byte order (doc_id%2), compression none/PackBits/LZW
+    (doc_id%3, LZW sometimes with Predictor 2 — round-6 §13/§14 support)
     and strip height (1 + doc_id%5 rows), decoded back pure-Python;
     width/height/pixel-mean come from the DECODED pixels and the oracle
     predicts all three analytically."""
@@ -587,8 +600,9 @@ def tiff_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             blob = pixels_to_tiff(
                 px,
                 byte_order="<" if d % 2 == 0 else ">",
-                compression=1 if (d % 4) < 2 else 32773,
+                compression=(1, 32773, 5)[d % 3],
                 rows_per_strip=1 + d % 5,
+                predictor=2 if d % 6 == 2 else 1,  # LZW rows get both
             )
             back = tiff_to_pixels(blob)
             rows.append(

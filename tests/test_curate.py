@@ -81,3 +81,78 @@ def test_curation_is_single_pass(spark, monkeypatch, tmp_path):
     curated.write.mode("overwrite").parquet(str(tmp_path / "out"))
     assert report.rows_in == 20
     assert calls.value == 20, f"normalize UDF ran {calls.value} times for 20 rows"
+
+
+def test_curation_with_model_and_substring_stages(spark):
+    """Round-6 wiring (round-5 verdict #6): the learned quality gate and
+    the ExactSubstr cut run INSIDE curate_corpus as pipeline stages with
+    their own report metrics — five published filter stages, one pass."""
+    banner = (
+        "subscribe-to-our-newsletter-for-updates-and-offers-every-single-week"
+    )
+    fluent = [
+        ("https://d/1", GOOD + " one. " + banner, "en"),
+        ("https://d/2", "a completely different tale of the harbour where "
+                        "the boats came home at dusk and the lamps were lit "
+                        "one by one along the quay two. " + banner, "en"),
+        ("https://d/3", "the castle stood on the hill for a hundred years "
+                        "while the rain fell and the wind blew through the "
+                        "empty halls of stone three. " + banner, "en"),
+    ]
+    df = spark.createDataFrame(fluent, "url string, text string, lang string")
+    curated, report = curate_corpus(
+        df,
+        min_quality=0.0,
+        min_chars=1,
+        model_quality_min=0.0,      # gate enabled, threshold permissive
+        model_sample_size=3,
+        substring_min_len=len(banner),
+    )
+    assert report.rows_in == 3
+    assert report.rows_model_quality_pass == 3
+    assert report.rows_after_substring_cut == 3
+    # the banner survives only at its first corpus occurrence (lowest url)
+    texts = {r.url: r.text for r in curated.collect()}
+    assert banner in texts["https://d/1"]
+    assert banner not in texts["https://d/2"]
+    assert banner not in texts["https://d/3"]
+    assert report.substring_chars_removed >= 2 * len(banner)
+    # the model-quality column rides the curated output
+    assert "model_quality" in curated.columns
+
+
+def test_curation_full_pipeline_is_single_pass(spark, monkeypatch, tmp_path):
+    """The single-pass accumulator pin must hold with ALL five stages on:
+    the normalize UDF still runs exactly once per input row across the
+    model training collect, both dedup counts, the substring-cut stats,
+    and the final write."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+    from docling_japanese_books_spark.operators.normalize import normalize_cjk
+    from docling_japanese_books_spark.pipeline import curate as curate_mod
+
+    calls = spark.sparkContext.accumulator(0)
+
+    def _counting(texts):
+        calls.add(len(texts))
+        return texts.map(lambda t: normalize_cjk(t) if t is not None else None)
+
+    _counting.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    monkeypatch.setattr(
+        curate_mod, "normalize_cjk_udf", F.pandas_udf(_counting, T.StringType())
+    )
+
+    rows = [(f"https://e/{i}", GOOD + f" tail {i}", "en") for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    curated, report = curate_mod.curate_corpus(
+        df,
+        min_quality=0.0,
+        min_chars=1,
+        model_quality_min=0.0,
+        model_sample_size=5,
+        substring_min_len=len(GOOD),
+    )
+    curated.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    assert report.rows_in == 20
+    assert calls.value == 20, f"normalize UDF ran {calls.value} times for 20 rows"

@@ -158,12 +158,18 @@ def test_valueerror_contract():
     ):
         with pytest.raises(ValueError):
             tiff_to_pixels(bad)
-    # unsupported compression id
-    lzw = pixels_to_tiff(px)
-    idx = lzw.find(struct.pack("<HHI", 259, 3, 1))
-    bad = lzw[: idx + 8] + struct.pack("<HH", 5, 0) + lzw[idx + 12 :]
+    # unsupported compression id (7 = new-style JPEG, out of subset;
+    # 5/LZW became supported in round 6)
+    t = pixels_to_tiff(px)
+    idx = t.find(struct.pack("<HHI", 259, 3, 1))
+    bad = t[: idx + 8] + struct.pack("<HH", 7, 0) + t[idx + 12 :]
     with pytest.raises(ValueError, match="compression"):
         tiff_to_pixels(bad)
+    # LZW-tagged but uncompressed payload must fail as a bad stream,
+    # never escape with a non-ValueError
+    bad_lzw = t[: idx + 8] + struct.pack("<HH", 5, 0) + t[idx + 12 :]
+    with pytest.raises(ValueError):
+        tiff_to_pixels(bad_lzw)
 
 
 def test_decode_image_real_dispatches_tiff():
@@ -174,3 +180,78 @@ def test_decode_image_real_dispatches_tiff():
     assert meta["format"] == "tiff"
     assert (meta["width"], meta["height"]) == (12, 10)
     assert meta["feature"] is not None
+
+
+def test_lzw_hand_derived_spec_vector():
+    """TIFF 6.0 §13 worked by hand for input 07 07 07 07 07: the encoder
+    must emit exactly Clear(256), 7, 258, 258, EOI(257) as 9-bit codes
+    packed MSB-first, and the decoder must invert the same bytes. Pins
+    the bit order and code numbering against the spec, independent of
+    the writer/decoder pair's self-consistency."""
+    from docling_japanese_books_spark.multimodal.tiff_codec import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    bits = "100000000" + "000000111" + "100000010" + "100000010" + "100000001"
+    bits += "0" * (-len(bits) % 8)
+    vec = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert lzw_encode(b"\x07" * 5) == vec
+    assert lzw_decode(vec, expected=5) == b"\x07" * 5
+
+
+def test_lzw_roundtrip_across_width_changes_and_reset():
+    """Low-entropy payloads sized to push the code table through the
+    EARLY width changes (511/1023/2047) and past the 4094 reset; plus a
+    high-entropy payload (all literals, worst case)."""
+    from docling_japanese_books_spark.multimodal.tiff_codec import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    for size in (1, 10, 1000, 20_000, 300_000):
+        data = bytes(rng.randint(0, 8, size=size, dtype=np.uint8))
+        assert lzw_decode(lzw_encode(data), expected=size) == data
+    data = bytes(rng.randint(0, 256, size=100_000, dtype=np.uint8))
+    assert lzw_decode(lzw_encode(data), expected=len(data)) == data
+
+
+def test_lzw_tiff_roundtrip_with_predictor():
+    """Compression 5 + Predictor 2 through the full TIFF container, gray
+    and RGB, both byte orders, multi-strip; the predictor must make a
+    smooth gradient dramatically smaller (differencing feeds LZW runs)."""
+    rng = np.random.RandomState(11)
+    for shape in ((13, 17), (9, 11, 3)):
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for pred in (1, 2):
+            for bo in ("<", ">"):
+                t = pixels_to_tiff(
+                    px, compression=5, byte_order=bo,
+                    rows_per_strip=4, predictor=pred,
+                )
+                assert np.array_equal(tiff_to_pixels(t), px)
+    grad = np.tile(np.arange(256, dtype=np.uint8), (32, 1))
+    t_pred = pixels_to_tiff(grad, compression=5, predictor=2)
+    t_flat = pixels_to_tiff(grad, compression=5)
+    assert np.array_equal(tiff_to_pixels(t_pred), grad)
+    assert len(t_pred) < len(t_flat) // 3
+
+
+def test_lzw_truncation_and_garbage_are_valueerror():
+    from docling_japanese_books_spark.multimodal.tiff_codec import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    data = bytes(range(256)) * 4
+    enc = lzw_encode(data)
+    # cutting the FINAL byte only drops EOI/padding, which the decoder
+    # tolerates when the payload is already complete (writers that omit
+    # EOI exist) — so truncation tests cut where payload is lost
+    assert lzw_decode(enc[:-1], expected=len(data)) == data
+    for cut in (1, len(enc) // 2):
+        with pytest.raises(ValueError):
+            lzw_decode(enc[:cut], expected=len(data))
+    with pytest.raises(ValueError):
+        lzw_decode(b"\xff" * 40, expected=10)
