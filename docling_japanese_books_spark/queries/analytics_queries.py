@@ -140,13 +140,29 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def best_doc_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 best-per-model selection (ref embedding_evaluation.py:498-509):
-    keep the max-score row per group via window row_number."""
-    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    return (
+    keep the max-score row per group. Round 6: argmax via a
+    partial-aggregable max(struct) instead of a row_number window —
+    `source` has FEW distinct values at corpus scale, so a window puts
+    one source's entire document set into a single task, while the agg
+    combines map-side and shuffles one row per (partition, source).
+    Ties break to the LOWEST doc_id, encoded as the negated id inside
+    the ordering struct (struct max = lexicographic)."""
+    best = (
         t(spark, sf_dir, "documents")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("source", "doc_id", "n_chars")
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("n"),
+                    (-F.col("doc_id")).alias("negid"),
+                )
+            ).alias("_b")
+        )
+    )
+    return best.select(
+        "source",
+        (-F.col("_b.negid")).alias("doc_id"),
+        F.col("_b.n").alias("n_chars"),
     )
 
 

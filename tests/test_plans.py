@@ -200,6 +200,32 @@ def test_interval_join_is_equi_join(plans):
     assert "Join" in p
 
 
+def test_paragraph_dedup_first_occurrence_is_aggregated(spark):
+    """dedup_paragraphs (round 6): first occurrence per paragraph hash is
+    a partial-aggregable min(struct), never a row_number() window on the
+    corpus-wide hash key — a boilerplate paragraph repeated 10M times
+    combines map-side instead of landing in one window task. argmax
+    queries (best_doc_per_source) carry the same max(struct) shape."""
+    from docling_japanese_books_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        dedup_paragraphs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "row_number" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower() or (
+        "min(" in plan
+    )
+    from docling_japanese_books_spark.queries import REGISTRY
+
+    best_plan = (
+        REGISTRY["best_doc_per_source"].fn(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "row_number" not in best_plan and "Window" not in best_plan
+
+
 def test_substring_dedup_detection_is_declarative(spark):
     """The ExactSubstr detection half (round-6 shape): the exact gram
     stage is pure codegen; the winnowing prefilter adds exactly one
