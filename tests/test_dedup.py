@@ -436,3 +436,65 @@ def test_exact_substring_dedup_multimegabyte_doc_bounded(spark):
     s = spans[0]
     # the only repeated >=40-char content is the trailing block copy
     assert (s.span_start, s.span_end) == (doc_len - len(block), doc_len)
+
+
+def test_exact_substring_spans_match_bruteforce_reference(spark):
+    """Randomized exactness check of the round-6 detection plan: a tiny
+    two-letter alphabet forces dense organic duplication (overlapping
+    islands, within-doc repeats, cross-doc chains), and the spans must
+    equal a brute-force pure-Python reference EXACTLY — on both the
+    prefiltered and the bare path."""
+    import random
+
+    from docling_japanese_books_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    rng = random.Random(1234)
+    L = 10  # >= _ANCHOR_K + 1 so the winnowing prefilter is active
+    corpus = {
+        did: "".join(rng.choice("ab") for _ in range(rng.randint(0, 60)))
+        for did in range(30)
+    }
+
+    # brute-force reference: global first occurrence by (doc_id, pos),
+    # then per-doc island merge
+    first: dict = {}
+    dup_starts: dict = {d: [] for d in corpus}
+    for did in sorted(corpus):
+        t = corpus[did]
+        for p in range(len(t) - L + 1):
+            w = t[p : p + L]
+            if w in first:
+                dup_starts[did].append(p)
+            else:
+                first[w] = (did, p)
+    expected = set()
+    for did, starts in dup_starts.items():
+        cur = None
+        for s in starts:
+            if cur is None:
+                cur = [s, s + L]
+            elif s <= cur[1]:
+                cur[1] = s + L
+            else:
+                expected.add((did, cur[0], cur[1]))
+                cur = [s, s + L]
+        if cur is not None:
+            expected.add((did, cur[0], cur[1]))
+
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    for prefilter in (True, False):
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicate_substring_spans(
+                docs, min_len=L, prefilter=prefilter
+            ).collect()
+        }
+        assert got == expected, (
+            prefilter,
+            sorted(got - expected)[:5],
+            sorted(expected - got)[:5],
+        )

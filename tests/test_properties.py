@@ -360,3 +360,77 @@ def test_avi_decoder_rejects_garbage_cleanly(payload):
             assert isinstance(frames, np.ndarray) and fps > 0
         except ValueError:
             pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(payload=st.binary(max_size=2000))
+def test_tiff_lzw_roundtrip_property(payload):
+    from docling_japanese_books_spark.multimodal.tiff_codec import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    assert lzw_decode(lzw_encode(payload), expected=len(payload)) == payload
+
+
+@settings(max_examples=150, deadline=None)
+@given(payload=st.binary(max_size=400), expected=st.integers(0, 400))
+def test_tiff_lzw_decode_rejects_garbage_cleanly(payload, expected):
+    from docling_japanese_books_spark.multimodal.tiff_codec import lzw_decode
+
+    try:
+        out = lzw_decode(payload, expected=expected)
+        assert len(out) == expected  # acceptance implies exact payload size
+    except ValueError:
+        pass  # the whole contract: ValueError or a correct-length decode
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    pre=st.text(alphabet="abcdef ", min_size=0, max_size=60),
+    mid=st.text(alphabet="abcdef ", min_size=0, max_size=60),
+    post=st.text(alphabet="abcdef ", min_size=0, max_size=60),
+    dup=st.text(alphabet="abcdef ", min_size=12, max_size=40),
+)
+def test_winnowing_anchor_guarantee_property(pre, mid, post, dup):
+    """The losslessness the ExactSubstr prefilter rests on: ANY two copies
+    of a substring of length >= w + k - 1 select at least one common
+    winnowing anchor, at the same offset inside both copies — regardless
+    of surrounding context (the w in-match k-grams form one complete
+    window whose min and rightmost-tie position are content-determined)."""
+    from docling_japanese_books_spark.operators.dedup import (
+        _ANCHOR_K,
+        _anchor_positions,
+    )
+
+    k = _ANCHOR_K
+    L = len(dup)
+    w = L - k + 1
+    text = pre + dup + mid + dup + post
+    p1 = len(pre)
+    p2 = len(pre) + L + len(mid)
+    anchors = _anchor_positions(text, k, w)
+    rel1 = {(p - p1, g) for p, g in anchors if p1 <= p <= p1 + L - k}
+    rel2 = {(p - p2, g) for p, g in anchors if p2 <= p <= p2 + L - k}
+    assert rel1 & rel2, (text, p1, p2, anchors)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    text=st.text(alphabet="abc xyz漢字", min_size=0, max_size=200),
+    L=st.integers(2, 60),
+    data=st.data(),
+)
+def test_window_hash_slicing_algebra(text, L, data):
+    """The chunked gram emission relies on: the hash of window i of the
+    full text equals the hash of window 0 of the slice starting at i —
+    for BOTH hash streams, on arbitrary unicode."""
+    from docling_japanese_books_spark.operators.dedup import _window_hashes
+
+    h1, h2 = _window_hashes(text, L)
+    n = len(h1)
+    if n == 0:
+        return
+    i = data.draw(st.integers(0, n - 1))
+    s1, s2 = _window_hashes(text[i : i + L], L)
+    assert (h1[i], h2[i]) == (s1[0], s2[0])
