@@ -238,10 +238,12 @@ def test_substring_dedup_detection_is_declarative(spark):
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    bare_plan = (
-        duplicate_substring_spans(docs, min_len=40, prefilter=False)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    bare = duplicate_substring_spans(docs, min_len=40, prefilter=False)
+    bare.collect()  # AQE resolves stage reuse at execution time
+    bare_plan = bare._jdf.queryExecution().executedPlan().toString()
+    # identical self-join sides share ONE gram exchange: the gram stage
+    # (scan -> chunk -> hash UDF -> explode -> shuffle) materializes once
+    assert "ReusedExchange" in bare_plan
     spans_plan = (
         duplicate_substring_spans(docs, min_len=40)
         ._jdf.queryExecution().executedPlan().toString()
