@@ -315,6 +315,14 @@ def main() -> None:
         )
         return
 
+    def loadavg() -> list:
+        try:
+            return [float(x) for x in Path("/proc/loadavg").read_text().split()[:3]]
+        except (OSError, ValueError):  # non-Linux: no forensics, no crash
+            return []
+
+    host_load = {"start": loadavg()}
+
     t_start = time.time()
     tmp = tempfile.mkdtemp(prefix="bench_pages_")
     pages_path = str(Path(tmp) / "pages")
@@ -337,6 +345,7 @@ def main() -> None:
         log(f"headline queries at local[{CPUS}] on {SF_DIR}")
         times = run_headline(spark)
         spark.stop()
+        host_load["after_headline"] = loadavg()
 
         # interleaved pinned scaling visits: N, 4N, N, 4N
         samples = {N_SMALL: [], N_BIG: []}
@@ -366,6 +375,7 @@ def main() -> None:
                 samples[cores].extend(r["times"])
                 visit_minima[which].append(min(r["times"]))
                 n_docs = r["n_docs"]
+            host_load[f"after_pair_{pair_idx + 1}"] = loadavg()
             pairs_run += 1
 
         t_small = min(samples[N_SMALL])
@@ -460,6 +470,12 @@ def main() -> None:
                 "scaling_floor_exceeded": scaling_floor_exceeded,
                 "scaling_floor_exceeded_any": bool(scaling_floor_exceeded),
             },
+            # host load forensics (1/5/15-min averages at phase
+            # boundaries): with the fleet design the bench's own load is
+            # ~8 during visits, so a 1-min average well above ~10 after a
+            # pair means external contention — the record explains its
+            # own scaling_floor_exceeded flags
+            "host_load": host_load,
             "bench_total_sec": round(time.time() - t_start, 1),
         }
         print(json.dumps(result), flush=True)
