@@ -16,8 +16,9 @@ PIL. Scope is the baseline subset that covers them:
   at table sizes 511/1023/2047, Clear emitted at 4094) and 32773
   (PackBits), all per-strip; Predictor 2 (horizontal differencing,
   §14) honored on decode and available on encode;
-- strip layout (StripOffsets/StripByteCounts/RowsPerStrip); tiled TIFF
-  is out of subset and rejected.
+- strip layout (StripOffsets/StripByteCounts/RowsPerStrip) AND §15
+  tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts, edge
+  tiles padded to full size, predictor applied per tile row).
 
 Decoder contract (same as every codec here): malformed or
 out-of-subset input raises ``ValueError`` only; the hypothesis fuzz
@@ -45,8 +46,11 @@ TAG_SAMPLES = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_COUNTS = 279
 TAG_COLORMAP = 320
-TAG_TILE_WIDTH = 322
 TAG_PREDICTOR = 317
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_COUNTS = 325
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I"}
@@ -290,8 +294,6 @@ def tiff_to_pixels(data: bytes) -> "np.ndarray":
             return default
         return int(v[0])
 
-    if TAG_TILE_WIDTH in e:
-        raise ValueError("tiled TIFF not supported (strip layout only)")
     width, height = one(TAG_WIDTH), one(TAG_HEIGHT)
     if width <= 0 or height <= 0 or width * height > 64_000_000:
         raise ValueError(f"unreasonable TIFF dimensions {width}x{height}")
@@ -306,37 +308,69 @@ def tiff_to_pixels(data: bytes) -> "np.ndarray":
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     photometric = one(TAG_PHOTOMETRIC, 1)
-    offsets = e.get(TAG_STRIP_OFFSETS)
-    counts = e.get(TAG_STRIP_COUNTS)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("missing or mismatched strip offsets/counts")
-    rows_per_strip = one(TAG_ROWS_PER_STRIP, height)
 
-    row_bytes = width * samples
-    raw = bytearray()
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        off, cnt = int(off), int(cnt)
-        if off + cnt > len(data):
-            raise ValueError(f"strip {i} out of bounds")
-        strip = data[off : off + cnt]
-        n_rows = min(rows_per_strip, height - i * rows_per_strip)
-        if n_rows <= 0:
-            raise ValueError("more strips than image rows")
-        expected = n_rows * row_bytes
+    def decompress(blob: bytes, n_rows: int, n_cols: int, label: str) -> bytes:
+        expected = n_rows * n_cols * samples
         if comp == 32773:
-            strip = packbits_decode(strip, expected)
+            blob = packbits_decode(blob, expected)
         elif comp == 5:
-            strip = lzw_decode(strip, expected)
+            blob = lzw_decode(blob, expected)
+        if len(blob) < expected:
+            raise ValueError(f"{label} short: {len(blob)} < {expected} bytes")
+        blob = blob[:expected]
         if predictor == 2:
-            if len(strip) < expected:
-                raise ValueError(f"strip {i} short for predictor undo")
-            strip = _undo_predictor2(strip[:expected], n_rows, width, samples)
-        if len(strip) < expected:
+            # §14: differencing is per ROW of the segment — a tile's rows
+            # are tile-width long, not image-width
+            blob = _undo_predictor2(blob, n_rows, n_cols, samples)
+        return blob
+
+    if TAG_TILE_WIDTH in e:
+        # §15 tiled layout: a grid of tw x tl tiles, EVERY tile padded to
+        # full size (edge tiles carry junk padding that is clipped here)
+        tw = one(TAG_TILE_WIDTH)
+        tl = one(TAG_TILE_LENGTH)
+        if tw <= 0 or tl <= 0 or tw * tl > 64_000_000:
+            raise ValueError(f"unreasonable TIFF tile size {tw}x{tl}")
+        offsets = e.get(TAG_TILE_OFFSETS)
+        counts = e.get(TAG_TILE_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("missing or mismatched tile offsets/counts")
+        across = -(-width // tw)
+        down = -(-height // tl)
+        if len(offsets) != across * down:
             raise ValueError(
-                f"strip {i} short: {len(strip)} < {expected} bytes"
+                f"tile count {len(offsets)} != grid {across}x{down}"
             )
-        raw += strip[:expected]
-    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(height, width, samples)
+        px = np.zeros((height, width, samples), dtype=np.uint8)
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            off, cnt = int(off), int(cnt)
+            if off + cnt > len(data):
+                raise ValueError(f"tile {i} out of bounds")
+            tile = decompress(data[off : off + cnt], tl, tw, f"tile {i}")
+            t = np.frombuffer(tile, dtype=np.uint8).reshape(tl, tw, samples)
+            y0 = (i // across) * tl
+            x0 = (i % across) * tw
+            ys, xs = min(tl, height - y0), min(tw, width - x0)
+            px[y0 : y0 + ys, x0 : x0 + xs] = t[:ys, :xs]
+    else:
+        offsets = e.get(TAG_STRIP_OFFSETS)
+        counts = e.get(TAG_STRIP_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("missing or mismatched strip offsets/counts")
+        rows_per_strip = one(TAG_ROWS_PER_STRIP, height)
+
+        raw = bytearray()
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            off, cnt = int(off), int(cnt)
+            if off + cnt > len(data):
+                raise ValueError(f"strip {i} out of bounds")
+            n_rows = min(rows_per_strip, height - i * rows_per_strip)
+            if n_rows <= 0:
+                raise ValueError("more strips than image rows")
+            raw += decompress(data[off : off + cnt], n_rows, width, f"strip {i}")
+        px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+            height, width, samples
+        )
 
     if photometric == 2:  # RGB (+ extra samples dropped)
         if samples < 3:
@@ -365,10 +399,13 @@ def pixels_to_tiff(
     byte_order: str = "<",
     rows_per_strip: Optional[int] = None,
     predictor: int = 1,
+    tile_size: "Optional[tuple]" = None,
 ) -> bytes:
     """uint8 pixels ((h, w) gray or (h, w, 3) RGB) -> baseline TIFF bytes
-    (fixture writer; strip layout, optional PackBits or LZW §13 with
-    optional horizontal-differencing predictor, either byte order)."""
+    (fixture writer; strip layout or §15 tiles via ``tile_size=(tw, tl)``,
+    optional PackBits or LZW §13 with optional horizontal-differencing
+    predictor, either byte order). Edge tiles are zero-padded to full
+    tile size per the spec."""
     if compression not in (1, 5, 32773):
         raise ValueError(f"writer supports compression 1/5/32773, not {compression}")
     if predictor not in (1, 2):
@@ -385,18 +422,33 @@ def pixels_to_tiff(
     bo = byte_order
     if bo not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
-    rps = rows_per_strip or h
-    strips: List[bytes] = []
-    for y0 in range(0, h, rps):
-        n_rows = min(rps, h - y0)
-        strip = flat[y0 : y0 + rps].tobytes()
+    def encode_segment(seg: "np.ndarray", n_rows: int, n_cols: int) -> bytes:
+        blob = seg.tobytes()
         if predictor == 2:
-            strip = _apply_predictor2(strip, n_rows, w, samples)
+            blob = _apply_predictor2(blob, n_rows, n_cols, samples)
         if compression == 32773:
-            strip = packbits_encode(strip)
-        elif compression == 5:
-            strip = lzw_encode(strip)
-        strips.append(strip)
+            return packbits_encode(blob)
+        if compression == 5:
+            return lzw_encode(blob)
+        return blob
+
+    flat3 = flat.reshape(h, w, samples)
+    strips: List[bytes] = []
+    if tile_size is not None:
+        tw, tl = int(tile_size[0]), int(tile_size[1])
+        if tw <= 0 or tl <= 0:
+            raise ValueError("tile_size must be positive (tw, tl)")
+        for y0 in range(0, h, tl):
+            for x0 in range(0, w, tw):
+                tile = np.zeros((tl, tw, samples), dtype=np.uint8)
+                ys, xs = min(tl, h - y0), min(tw, w - x0)
+                tile[:ys, :xs] = flat3[y0 : y0 + ys, x0 : x0 + xs]
+                strips.append(encode_segment(tile, tl, tw))
+    else:
+        rps = rows_per_strip or h
+        for y0 in range(0, h, rps):
+            n_rows = min(rps, h - y0)
+            strips.append(encode_segment(flat3[y0 : y0 + rps], n_rows, w))
 
     magic = b"II*\x00" if bo == "<" else b"MM\x00*"
     # layout: header(8) | strip data | BitsPerSample array | IFD
@@ -421,14 +473,20 @@ def pixels_to_tiff(
         ),
         (TAG_COMPRESSION, 3, 1, [compression]),
         (TAG_PHOTOMETRIC, 3, 1, [photometric]),
-        (TAG_STRIP_OFFSETS, 4, len(strips), strip_offsets),
         (TAG_SAMPLES, 3, 1, [samples]),
-        (TAG_ROWS_PER_STRIP, 3, 1, [min(rps, 65535)]),
-        (TAG_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips]),
     ]
+    if tile_size is None:
+        entries.insert(5, (TAG_STRIP_OFFSETS, 4, len(strips), strip_offsets))
+        entries.append((TAG_ROWS_PER_STRIP, 3, 1, [min(rps, 65535)]))
+        entries.append((TAG_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips]))
     if predictor == 2:
         # IFD entries must stay in ascending tag order: 317 follows 279
         entries.append((TAG_PREDICTOR, 3, 1, [2]))
+    if tile_size is not None:
+        entries.append((TAG_TILE_WIDTH, 3, 1, [tw]))
+        entries.append((TAG_TILE_LENGTH, 3, 1, [tl]))
+        entries.append((TAG_TILE_OFFSETS, 4, len(strips), strip_offsets))
+        entries.append((TAG_TILE_COUNTS, 4, len(strips), [len(s) for s in strips]))
     # multi-strip offset/count arrays won't fit inline; append after IFD
     tail_off = ifd_off + 2 + 12 * len(entries) + 4
     tail = bytearray()

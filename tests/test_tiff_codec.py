@@ -255,3 +255,77 @@ def test_lzw_truncation_and_garbage_are_valueerror():
             lzw_decode(enc[:cut], expected=len(data))
     with pytest.raises(ValueError):
         lzw_decode(b"\xff" * 40, expected=10)
+
+
+def test_tiled_tiff_roundtrip_matrix():
+    """§15 tiled layout through the writer/decoder pair: every
+    compression x predictor x tile-grid x byte order, edge tiles
+    clipped correctly (image not a multiple of the tile size)."""
+    rng = np.random.RandomState(3)
+    for shape in ((13, 17), (9, 11, 3)):
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                for ts in ((8, 8), (16, 4)):
+                    for bo in ("<", ">"):
+                        t = pixels_to_tiff(
+                            px, compression=comp, byte_order=bo,
+                            predictor=pred, tile_size=ts,
+                        )
+                        back = tiff_to_pixels(t)
+                        assert np.array_equal(back, px), (shape, comp, pred, ts, bo)
+
+
+def test_external_hand_assembled_tiled_tiff():
+    """A 3x3 gray image in 2x2 tiles laid out byte-by-byte from the §15
+    spec (4 padded tiles, row-major, junk in the pad bytes) — bytes our
+    writer never produces, so the tile clipping path is checked
+    independently."""
+    bo = "<"
+    # image: [[1,2,3],[4,5,6],[7,8,9]]; tiles 2x2 -> grid 2x2, padded
+    tiles = [
+        bytes([1, 2, 4, 5]),          # top-left (full)
+        bytes([3, 99, 6, 99]),        # top-right (right col = pad junk)
+        bytes([7, 8, 99, 99]),        # bottom-left (bottom row = pad)
+        bytes([9, 99, 99, 99]),       # bottom-right (3 pads)
+    ]
+    tile_data = b"".join(tiles)
+    offsets = []
+    pos = 8
+    for t in tiles:
+        offsets.append(pos)
+        pos += len(t)
+    ifd_off = pos
+    entries = [
+        _ifd_entry(bo, 256, 3, 1, struct.pack("<HH", 3, 0)),   # width
+        _ifd_entry(bo, 257, 3, 1, struct.pack("<HH", 3, 0)),   # height
+        _ifd_entry(bo, 258, 3, 1, struct.pack("<HH", 8, 0)),
+        _ifd_entry(bo, 259, 3, 1, struct.pack("<HH", 1, 0)),
+        _ifd_entry(bo, 262, 3, 1, struct.pack("<HH", 1, 0)),
+        _ifd_entry(bo, 277, 3, 1, struct.pack("<HH", 1, 0)),
+        _ifd_entry(bo, 322, 3, 1, struct.pack("<HH", 2, 0)),   # TileWidth
+        _ifd_entry(bo, 323, 3, 1, struct.pack("<HH", 2, 0)),   # TileLength
+    ]
+    n = len(entries) + 2  # + offsets/counts arrays appended after IFD
+    arrays_off = ifd_off + 2 + 12 * n + 4
+    entries.append(_ifd_entry(bo, 324, 4, 4, struct.pack("<I", arrays_off)))
+    entries.append(
+        _ifd_entry(bo, 325, 4, 4, struct.pack("<I", arrays_off + 16))
+    )
+    ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    blob = (
+        b"II*\x00" + struct.pack("<I", ifd_off) + tile_data + ifd
+        + struct.pack("<4I", *offsets) + struct.pack("<4I", 4, 4, 4, 4)
+    )
+    out = tiff_to_pixels(blob)
+    assert out.tolist() == [[1, 2, 3], [4, 5, 6], [7, 8, 9]]
+
+
+def test_tiled_tiff_bad_grid_is_valueerror():
+    px = _grad(8, 8)
+    t = pixels_to_tiff(px, tile_size=(4, 4))
+    # corrupt TileWidth (tag 322) to 16: grid says 1 tile, file has 4
+    idx = t.find(struct.pack("<HHI", 322, 3, 1))
+    bad = t[: idx + 8] + struct.pack("<HH", 16, 0) + t[idx + 12 :]
+    with pytest.raises(ValueError, match="tile"):
+        tiff_to_pixels(bad)
