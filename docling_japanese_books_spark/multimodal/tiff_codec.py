@@ -298,19 +298,29 @@ def tiff_to_pixels(data: bytes) -> "np.ndarray":
     if width <= 0 or height <= 0 or width * height > 64_000_000:
         raise ValueError(f"unreasonable TIFF dimensions {width}x{height}")
     samples = one(TAG_SAMPLES, 1)
-    bits = e.get(TAG_BITS, [8])
-    if any(int(b) != 8 for b in bits):
-        raise ValueError(f"only 8 bits/sample supported, got {bits}")
+    bits = [int(b) for b in e.get(TAG_BITS, [8])]
+    bilevel = bits == [1]
+    if not bilevel and any(b != 8 for b in bits):
+        raise ValueError(f"only 1 or 8 bits/sample supported, got {bits}")
+    if bilevel and samples != 1:
+        raise ValueError("bilevel TIFF must have exactly 1 sample/pixel")
     comp = one(TAG_COMPRESSION, 1)
     if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
     predictor = one(TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if predictor == 2 and bilevel:
+        raise ValueError("predictor 2 is not defined for bilevel TIFF")
     photometric = one(TAG_PHOTOMETRIC, 1)
 
-    def decompress(blob: bytes, n_rows: int, n_cols: int, label: str) -> bytes:
-        expected = n_rows * n_cols * samples
+    def decompress(blob: bytes, n_rows: int, n_cols: int, label: str) -> "np.ndarray":
+        """One strip/tile -> (n_rows, n_cols, samples) uint8 array.
+        Bilevel rows are bit-packed MSB-first and padded per ROW to a
+        byte boundary (spec §8 ImageWidth note); 0/1 scales to 0/255
+        so the photometric handling downstream is shared with 8-bit."""
+        row_bytes = (n_cols + 7) // 8 if bilevel else n_cols * samples
+        expected = n_rows * row_bytes
         if comp == 32773:
             blob = packbits_decode(blob, expected)
         elif comp == 5:
@@ -322,7 +332,11 @@ def tiff_to_pixels(data: bytes) -> "np.ndarray":
             # §14: differencing is per ROW of the segment — a tile's rows
             # are tile-width long, not image-width
             blob = _undo_predictor2(blob, n_rows, n_cols, samples)
-        return blob
+        if bilevel:
+            a = np.frombuffer(blob, dtype=np.uint8).reshape(n_rows, row_bytes)
+            bits01 = np.unpackbits(a, axis=1)[:, :n_cols]
+            return (bits01 * np.uint8(255)).astype(np.uint8)[:, :, None]
+        return np.frombuffer(blob, dtype=np.uint8).reshape(n_rows, n_cols, samples)
 
     if TAG_TILE_WIDTH in e:
         # §15 tiled layout: a grid of tw x tl tiles, EVERY tile padded to
@@ -346,8 +360,7 @@ def tiff_to_pixels(data: bytes) -> "np.ndarray":
             off, cnt = int(off), int(cnt)
             if off + cnt > len(data):
                 raise ValueError(f"tile {i} out of bounds")
-            tile = decompress(data[off : off + cnt], tl, tw, f"tile {i}")
-            t = np.frombuffer(tile, dtype=np.uint8).reshape(tl, tw, samples)
+            t = decompress(data[off : off + cnt], tl, tw, f"tile {i}")
             y0 = (i // across) * tl
             x0 = (i % across) * tw
             ys, xs = min(tl, height - y0), min(tw, width - x0)
@@ -359,7 +372,7 @@ def tiff_to_pixels(data: bytes) -> "np.ndarray":
             raise ValueError("missing or mismatched strip offsets/counts")
         rows_per_strip = one(TAG_ROWS_PER_STRIP, height)
 
-        raw = bytearray()
+        parts = []
         for i, (off, cnt) in enumerate(zip(offsets, counts)):
             off, cnt = int(off), int(cnt)
             if off + cnt > len(data):
@@ -367,10 +380,10 @@ def tiff_to_pixels(data: bytes) -> "np.ndarray":
             n_rows = min(rows_per_strip, height - i * rows_per_strip)
             if n_rows <= 0:
                 raise ValueError("more strips than image rows")
-            raw += decompress(data[off : off + cnt], n_rows, width, f"strip {i}")
-        px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
-            height, width, samples
-        )
+            parts.append(
+                decompress(data[off : off + cnt], n_rows, width, f"strip {i}")
+            )
+        px = np.vstack(parts)
 
     if photometric == 2:  # RGB (+ extra samples dropped)
         if samples < 3:
@@ -410,6 +423,11 @@ def pixels_to_tiff(
         raise ValueError(f"writer supports compression 1/5/32773, not {compression}")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    bilevel = np.asarray(px).dtype == np.bool_
+    if bilevel and np.asarray(px).ndim != 2:
+        raise ValueError("bilevel writer takes a 2-D bool array")
+    if bilevel and predictor != 1:
+        raise ValueError("predictor 2 is not defined for bilevel TIFF")
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 2:
         h, w, samples, photometric = px.shape[0], px.shape[1], 1, 1
@@ -423,7 +441,13 @@ def pixels_to_tiff(
     if bo not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
     def encode_segment(seg: "np.ndarray", n_rows: int, n_cols: int) -> bytes:
-        blob = seg.tobytes()
+        if bilevel:
+            # bit-pack MSB-first, each row padded to a byte boundary
+            blob = np.packbits(
+                seg.reshape(n_rows, n_cols) & 1, axis=1
+            ).tobytes()
+        else:
+            blob = seg.tobytes()
         if predictor == 2:
             blob = _apply_predictor2(blob, n_rows, n_cols, samples)
         if compression == 32773:
@@ -469,7 +493,8 @@ def pixels_to_tiff(
             TAG_BITS,
             3,
             samples,
-            [8] * samples if samples <= 2 else None,  # None -> stored at bits_off
+            # None -> stored at bits_off
+            ([1] if bilevel else [8] * samples) if samples <= 2 else None,
         ),
         (TAG_COMPRESSION, 3, 1, [compression]),
         (TAG_PHOTOMETRIC, 3, 1, [photometric]),

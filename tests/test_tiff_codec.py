@@ -329,3 +329,45 @@ def test_tiled_tiff_bad_grid_is_valueerror():
     bad = t[: idx + 8] + struct.pack("<HH", 16, 0) + t[idx + 12 :]
     with pytest.raises(ValueError, match="tile"):
         tiff_to_pixels(bad)
+
+
+def test_bilevel_tiff_roundtrip_and_external_fixture():
+    """BitsPerSample=1 (the scanned-book bilevel case): MSB-first bit
+    packing with per-row byte padding, strips and tiles, both byte
+    orders — plus a hand-assembled WhiteIsZero fax-style fixture whose
+    bytes our writer never produces (it writes BlackIsZero)."""
+    rng = np.random.RandomState(5)
+    for shape in ((7, 9), (5, 33)):
+        bits = rng.rand(*shape) > 0.5
+        for comp in (1, 5, 32773):
+            for layout in ({"rows_per_strip": 3}, {"tile_size": (8, 4)}):
+                t = pixels_to_tiff(bits, compression=comp, **layout)
+                back = tiff_to_pixels(t)
+                assert np.array_equal(back, bits.astype(np.uint8) * 255)
+
+    # external: 2 rows x 10 cols, WhiteIsZero, hand-packed rows
+    # row0 bits 1100000001 -> bytes C0 40 ; row1 bits 0000000000 -> 00 00
+    bo = "<"
+    pixels = bytes([0xC0, 0x40, 0x00, 0x00])
+    entries = [
+        _ifd_entry(bo, 256, 3, 1, struct.pack("<HH", 10, 0)),
+        _ifd_entry(bo, 257, 3, 1, struct.pack("<HH", 2, 0)),
+        _ifd_entry(bo, 258, 3, 1, struct.pack("<HH", 1, 0)),   # 1 bit
+        _ifd_entry(bo, 259, 3, 1, struct.pack("<HH", 1, 0)),
+        _ifd_entry(bo, 262, 3, 1, struct.pack("<HH", 0, 0)),   # WhiteIsZero
+        _ifd_entry(bo, 273, 4, 1, struct.pack("<I", 8)),
+        _ifd_entry(bo, 277, 3, 1, struct.pack("<HH", 1, 0)),
+        _ifd_entry(bo, 278, 3, 1, struct.pack("<HH", 2, 0)),
+        _ifd_entry(bo, 279, 4, 1, struct.pack("<I", 4)),
+    ]
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+    blob = b"II*\x00" + struct.pack("<I", 12) + pixels + ifd
+    out = tiff_to_pixels(blob)
+    # WhiteIsZero: bit 1 = black = 0 after inversion
+    assert out.tolist() == [
+        [0, 0, 255, 255, 255, 255, 255, 255, 255, 0],
+        [255] * 10,
+    ]
+    # predictor 2 on bilevel is rejected on both sides
+    with pytest.raises(ValueError, match="bilevel"):
+        pixels_to_tiff(np.ones((2, 2), dtype=bool), predictor=2)
