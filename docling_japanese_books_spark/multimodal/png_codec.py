@@ -9,10 +9,12 @@ pixel decode possible in this container:
   (H,W,4) RGBA, 8-bit, into a standards-valid PNG (signature, IHDR, IDAT,
   IEND, correct CRCs). ``filter_type`` selects the per-scanline filter
   (0-4) so tests can exercise every decoder unfilter path.
-- ``png_to_pixels``: decodes 8-bit non-interlaced PNGs of color type 0
-  (gray), 2 (RGB), 6 (RGBA), all five scanline filters (None/Sub/Up/
-  Average/Paeth). Out-of-subset input (16-bit, palette, Adam7, non-PNG)
-  raises ValueError — rejected, never mis-read.
+- ``png_to_pixels``: decodes 8-bit PNGs of color type 0 (gray), 2 (RGB),
+  3 (palette via PLTE, round 6), 6 (RGBA), all five scanline filters
+  (None/Sub/Up/Average/Paeth), both non-interlaced and Adam7-interlaced
+  (round 6: seven independently-filtered passes scattered onto their
+  sparse grids, spec §8.2). Out-of-subset input (16-bit, sub-byte
+  depths, non-PNG) raises ValueError — rejected, never mis-read.
 
 Scale note: decode runs inside Arrow-batched mapInPandas (images.py); the
 unfilter loop is per-scanline numpy for Sub/Up and per-byte for Average/
@@ -158,15 +160,43 @@ def png_header(payload: bytes) -> Tuple[int, int, int, int]:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if interlace:
-                raise ValueError("Adam7 interlace unsupported")
             return w, h, depth, color
     raise ValueError("missing IHDR")
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter_block(raw: bytes, off: int, pw: int, ph: int, ch: int) -> tuple:
+    """Unfilter ``ph`` scanlines of ``pw`` pixels starting at byte ``off``
+    of the decompressed stream; returns ((ph, pw*ch) array, new offset)."""
+    stride = pw * ch
+    out = np.zeros((ph, stride), np.uint8)
+    prior = np.zeros(stride, np.uint8)
+    for y in range(ph):
+        if off + 1 + stride > len(raw):
+            raise ValueError("IDAT stream short")
+        ft = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1)
+        out[y] = _unfilter_scanline(ft, line, prior, ch)
+        prior = out[y]
+        off += 1 + stride
+    return out, off
+
+
 def png_to_pixels(payload: bytes) -> np.ndarray:
     """PNG bytes -> uint8 array (H,W) gray or (H,W,C). ValueError outside
-    the supported subset (8-bit depth, color types 0/2/6, no interlace).
+    the supported subset (8-bit depth, color types 0/2/3/6, interlace
+    methods 0 and Adam7; palette output is expanded to (H,W,3)).
 
     One pass over the chunk list (this runs per image inside the Arrow-
     batched decode stage — walking it twice would re-verify every CRC)."""
@@ -174,36 +204,62 @@ def png_to_pixels(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG (bad signature)")
     header = None
     idat_parts = []
+    plte = None
     for tag, data in _chunks(payload):
         if tag == b"IHDR":
             header = struct.unpack(">IIBBBBB", data)
         elif tag == b"IDAT":
             idat_parts.append(data)
+        elif tag == b"PLTE":
+            plte = data
     if header is None:
         raise ValueError("missing IHDR")
     w, h, depth, color, comp, filt, interlace = header
-    if interlace:
-        raise ValueError("Adam7 interlace unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
     if depth != 8:
         raise ValueError(f"bit depth {depth} unsupported (8 only)")
-    ch = _CHANNELS.get(color)
-    if ch is None:
-        raise ValueError(f"color type {color} unsupported (0/2/6 only)")
-    idat = b"".join(idat_parts)
-    raw = zlib.decompress(idat)
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT size mismatch")
-    out = np.zeros((h, stride), np.uint8)
-    prior = np.zeros(stride, np.uint8)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, y * (stride + 1) + 1
-        )
-        out[y] = _unfilter_scanline(ft, line, prior, ch)
-        prior = out[y]
-    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+    if color == 3:
+        ch = 1  # palette indices travel as one byte per pixel
+        if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+    else:
+        ch = _CHANNELS.get(color)
+        if ch is None:
+            raise ValueError(f"color type {color} unsupported (0/2/3/6 only)")
+    try:
+        raw = zlib.decompress(b"".join(idat_parts))
+    except zlib.error as ex:
+        raise ValueError(f"bad IDAT zlib stream: {ex}") from ex
+
+    if interlace == 0:
+        if len(raw) != h * (w * ch + 1):
+            raise ValueError("IDAT size mismatch")
+        out, _ = _unfilter_block(raw, 0, w, h, ch)
+        out = out.reshape(h, w, ch)
+    else:
+        # Adam7: seven independently-filtered sub-images, concatenated in
+        # one zlib stream; scatter each pass onto its sparse grid
+        out = np.zeros((h, w, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            block, off = _unfilter_block(raw, off, pw, ph, ch)
+            out[y0::dy, x0::dx] = block.reshape(ph, pw, ch)
+        if off != len(raw):
+            raise ValueError("IDAT size mismatch (interlaced)")
+
+    if color == 3:
+        table = np.zeros((256, 3), np.uint8)
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(out.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        table[: pal.shape[0]] = pal
+        return table[out[:, :, 0]]
+    return out.reshape(h, w) if ch == 1 else out
 
 
 def resize_nearest(pixels: np.ndarray, new_w: int, new_h: int) -> np.ndarray:

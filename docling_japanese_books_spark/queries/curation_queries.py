@@ -603,6 +603,9 @@ def tiff_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 compression=(1, 32773, 5)[d % 3],
                 rows_per_strip=1 + d % 5,
                 predictor=2 if d % 6 == 2 else 1,  # LZW rows get both
+                # every 5th doc goes through the §15 tiled layout (same
+                # pixels, so the analytic oracle is layout-invariant)
+                tile_size=(8, 4) if d % 5 == 4 else None,
             )
             back = tiff_to_pixels(blob)
             rows.append(

@@ -107,3 +107,105 @@ def test_image_features_range_and_quadrants():
     f = image_features(px)
     assert all(0.0 <= x <= 1.0 for x in f)
     assert f[4] == 1.0 and f[7] == 0.0  # q_tl bright, q_br dark
+
+
+def test_adam7_interlaced_decode_hand_built():
+    """Adam7 (spec §8.2) fixtures assembled pass-by-pass by hand: the
+    seven sub-images are sliced, filtered with None, concatenated into
+    one zlib stream — bytes our writer never produces (it only writes
+    interlace 0), so the pass geometry is checked independently."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from docling_japanese_books_spark.multimodal.png_codec import (
+        PNG_SIGNATURE,
+        _ADAM7,
+        _chunk,
+        png_to_pixels,
+    )
+
+    def adam7_png(px):
+        h, w = px.shape[:2]
+        ch = 1 if px.ndim == 2 else px.shape[2]
+        color = {1: 0, 3: 2, 4: 6}[ch]
+        px3 = px.reshape(h, w, ch)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px3[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw.append(0)
+                raw += row.tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+        return (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(9)
+    for shape in ((1, 1), (2, 2), (7, 5), (8, 8), (9, 10, 3), (16, 3)):
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(png_to_pixels(adam7_png(px)), px), shape
+    # truncated interlaced stream must be ValueError
+    blob = adam7_png(rng.randint(0, 256, size=(8, 8), dtype=np.uint8))
+    import pytest
+
+    with pytest.raises(ValueError):
+        png_to_pixels(
+            blob.replace(b"IDAT", b"IDAT")[:60] + blob[-12:]
+        )
+
+
+def test_palette_png_decode():
+    """Color type 3: indices expand through PLTE to (H,W,3); an index
+    beyond the palette is a ValueError, not a mis-read."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from docling_japanese_books_spark.multimodal.png_codec import (
+        PNG_SIGNATURE,
+        _chunk,
+        png_to_pixels,
+    )
+
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"".join(b"\x00" + r.tobytes() for r in idx)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    blob = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = png_to_pixels(blob)
+    assert out.shape == (2, 3, 3)
+    assert out[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    assert out[1].tolist() == [[0, 0, 255], [0, 255, 0], [255, 0, 0]]
+
+    oob = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x05"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette"):
+        png_to_pixels(oob)
+    no_plte = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        png_to_pixels(no_plte)
