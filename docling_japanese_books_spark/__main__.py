@@ -95,14 +95,26 @@ def cmd_curate(args) -> int:
     spark = get_spark("cli-curate")
     extracted = spark.read.parquet(args.input)
     curated, report = curate_corpus(
-        extracted, min_quality=args.min_quality, near_dup_threshold=args.near_dup
+        extracted,
+        min_quality=args.min_quality,
+        near_dup_threshold=args.near_dup,
+        model_quality_min=args.model_quality,
+        substring_min_len=args.substring_min_len,
     )
     curated.write.mode("overwrite").parquet(args.output)
-    print(
+    line = (
         f"in={report.rows_in} quality_pass={report.rows_quality_pass} "
         f"exact_dedup={report.rows_after_exact_dedup} "
         f"near_dedup={report.rows_after_near_dedup}"
     )
+    if report.rows_model_quality_pass is not None:
+        line += f" model_pass={report.rows_model_quality_pass}"
+    if report.rows_after_substring_cut is not None:
+        line += (
+            f" substring_cut={report.rows_after_substring_cut}"
+            f" chars_removed={report.substring_chars_removed}"
+        )
+    print(line)
     return 0
 
 
@@ -167,6 +179,14 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("-o", "--output", required=True)
     cu.add_argument("--min-quality", type=float, default=0.3)
     cu.add_argument("--near-dup", type=float, default=0.85)
+    cu.add_argument(
+        "--model-quality", type=float, default=None,
+        help="enable the learned quality gate at this threshold",
+    )
+    cu.add_argument(
+        "--substring-min-len", type=int, default=None,
+        help="enable the ExactSubstr cut at this window length",
+    )
     cu.set_defaults(fn=cmd_curate)
 
     ch = sub.add_parser("chunk", help="chunk with a model's preferred strategy")
