@@ -772,6 +772,7 @@ def duplicate_substring_spans(
     text_col: str = "text",
     prefilter: bool = True,
     chunk: int = 65536,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """ExactSubstr dedup, detection half (the Lee et al. 2021
     "Deduplicating Training Data Makes Language Models Better" rule,
@@ -826,7 +827,10 @@ def duplicate_substring_spans(
        run twice (trace-hook-verified 2×, down from 4× with a
        groupBy-min + join-back shape) — a constant factor, not a
        scale cliff; every stage stays skew-splittable and
-       memory-bounded.
+       memory-bounded. ``checkpoint=True`` removes even that factor by
+       localCheckpoint-ing the tiny merged-ranges frame (anchor pass
+       runs exactly once — trace-hook-verified 1×; same
+       fault-tolerance trade as minhash's checkpoint mode).
     4. **Chunked gram emission**: windows are hashed per ``chunk``-sized
        slice of each candidate range, so the transient per-row state
        (Arrow cell + zipped array) is <= ~16·chunk bytes — a 10 MB
@@ -880,6 +884,17 @@ def duplicate_substring_spans(
             ),
             id_col,
         )
+        if checkpoint:
+            # The gram self-join's two sides each re-evaluate their whole
+            # lineage (the PythonUDF defeats canonical exchange equality
+            # for the OUTER pair), so the anchor pass would run twice.
+            # localCheckpoint on the TINY merged-ranges frame truncates
+            # the lineage there: anchors run exactly once, both gram
+            # sides re-read candidate ranges from executor storage. Same
+            # trade as minhash_lsh_candidates(checkpoint=True): local
+            # checkpoints are not fault-tolerant — on a real cluster use
+            # df.checkpoint() with a reliable dir or a table write.
+            ranges = ranges.localCheckpoint(eager=False)
         ranged = (
             ranges.join(docs.select(id_col, text_col), id_col)
             # clip to valid window starts: max start is len(text) - L
@@ -1009,6 +1024,7 @@ def dedup_exact_substrings(
     text_col: str = "text",
     prefilter: bool = True,
     chunk: int = 65536,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """ExactSubstr dedup, removal half: cut every merged duplicate span
     out of the text (first occurrence in corpus order survives intact).
@@ -1018,7 +1034,9 @@ def dedup_exact_substrings(
     import pandas as pd
     from pyspark.sql import types as T
 
-    spans = duplicate_substring_spans(docs, min_len, id_col, text_col, prefilter, chunk)
+    spans = duplicate_substring_spans(
+        docs, min_len, id_col, text_col, prefilter, chunk, checkpoint
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end"))

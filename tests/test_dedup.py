@@ -498,3 +498,44 @@ def test_exact_substring_spans_match_bruteforce_reference(spark):
             sorted(got - expected)[:5],
             sorted(expected - got)[:5],
         )
+
+
+def test_exact_substring_checkpoint_single_anchor_pass(tmp_path):
+    """checkpoint=True must cut the gram self-join's recompute diamond:
+    the anchor UDF runs over the corpus EXACTLY once (vs 2x without —
+    the PythonUDF defeats canonical exchange equality for the outer
+    pair). Verified through the worker-side trace hook, which needs the
+    env var present at session start — hence a subprocess with its own
+    SparkSession. Spans must be byte-identical to the default path."""
+    import json
+    import subprocess
+    import sys
+
+    trace = tmp_path / "anchor_trace.txt"
+    script = f"""
+import os, sys, json
+sys.path.insert(0, {repr(str(__import__('pathlib').Path(__file__).resolve().parents[1]))})
+from docling_japanese_books_spark.session import get_spark
+from docling_japanese_books_spark.operators.dedup import duplicate_substring_spans
+from pyspark.sql import functions as F
+spark = get_spark("ckpt", cores=2, shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+rows = [(i, "unique filler %06d. " % i + "<<the-shared-banner-that-makes-everyone-a-candidate!>>") for i in range(40)]
+docs = spark.createDataFrame(rows, "doc_id long, text string")
+base = sorted((r.doc_id, r.span_start, r.span_end) for r in duplicate_substring_spans(docs, min_len=40).collect())
+open({repr(str(trace))}, "w").close()
+ck = sorted((r.doc_id, r.span_start, r.span_end) for r in duplicate_substring_spans(docs, min_len=40, checkpoint=True).collect())
+n_calls = sum(1 for _ in open({repr(str(trace))}))
+print("RESULT " + json.dumps({{"equal": base == ck, "n_spans": len(ck), "anchor_calls": n_calls, "n_docs": 40}}))
+"""
+    env = dict(**__import__("os").environ)
+    env["SPARK_GRAFT_ANCHOR_TRACE"] = str(trace)
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")][-1]
+    res = json.loads(line[len("RESULT "):])
+    assert res["equal"] and res["n_spans"] == 39
+    assert res["anchor_calls"] == res["n_docs"], res  # exactly ONE pass
