@@ -783,8 +783,15 @@ def duplicate_substring_spans(
     merged per document with a gaps-and-islands window.
 
     Returns (id_col, span_start, span_end) — 0-based char intervals,
-    end exclusive — one row per merged removable span. Output is EXACT
-    (true substring-equality semantics) on every path below.
+    end exclusive — one row per merged removable span. Output is exact
+    up to a simultaneous collision of BOTH 64-bit rolling hashes on the
+    same window pair (point 2 below: heuristically P ~ n²/2^129; note
+    polynomial-mod-2^64 hashes have structured bad-input classes —
+    highly periodic strings can correlate the two bases — so callers
+    that need a hard guarantee should re-verify survivors with one
+    substring-equality join on the emitted spans; no in-repo caller
+    does, because a false positive only ever removes an extra
+    min_len-char span from a training corpus).
 
     Scale shape (round-6 rewrite; round-5 verdict flagged the original
     as a 100 TB killer on three counts, all closed here):
