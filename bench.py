@@ -74,10 +74,25 @@ REPS_PER_VISIT = {"small": 2, "big": 4}
 N_PAIRS = 3
 # Budget truncation (TIME-based only, never metric-based, so it cannot
 # optional-stop toward a pass): if starting another pair would overrun the
-# driver's 10-minute wall, remaining pairs are dropped WHOLE — a truncated
-# record beats a timeout that records nothing. Pairs are atomic: dropping
-# one config's visit but not its partner's would bias the paired median.
+# wall budget, remaining pairs are dropped WHOLE — a truncated record
+# beats a timeout that records nothing. Pairs are atomic: dropping one
+# config's visit but not its partner's would bias the paired median.
+# r7: the deadline clock starts at the SCALING PHASE start (not process
+# start), so neither the headline phase nor a load-gate wait can eat the
+# pair schedule — r6/r7 records on slow windows truncated to 1 pair and
+# recorded only cold visits.
 PAIR_DEADLINE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "360"))
+
+# Load gate (VERDICT r6 #1): poll the 1-min load average and defer the
+# measured phases — bounded wait, then run UNCONDITIONALLY (the schedule
+# itself never depends on mid-run metrics, so no optional stopping). The
+# two gate points (process start, scaling-phase start) share one wait
+# budget. In this VM loadavg only sees OUR kernel's runqueue; hypervisor
+# neighbors show up as steal time instead, so the record also carries
+# per-phase steal/busy forensics from /proc/stat.
+LOADGATE_MAX_WAIT = float(os.environ.get("SPARK_GRAFT_LOADGATE_MAX_WAIT", "1800"))
+LOADGATE_STEP = float(os.environ.get("SPARK_GRAFT_LOADGATE_STEP", "120"))
+LOADGATE_LOAD = float(os.environ.get("SPARK_GRAFT_LOADGATE_LOAD", "2.0"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -321,6 +336,56 @@ def main() -> None:
         except (OSError, ValueError):  # non-Linux: no forensics, no crash
             return []
 
+    def cpu_times() -> list:
+        """Aggregate jiffies (user nice system idle iowait irq softirq
+        steal) — per-segment deltas give busy%/steal% forensics."""
+        try:
+            return [int(x) for x in Path("/proc/stat").read_text().split("\n")[0].split()[1:9]]
+        except (OSError, ValueError, IndexError):
+            return []
+
+    cpu_marks = {"start": cpu_times()}
+    cpu_segments: dict = {}
+    last_mark = ["start"]
+
+    def mark_cpu(name: str) -> None:
+        now = cpu_times()
+        prev = cpu_marks.get(last_mark[0])
+        if now and prev and len(now) == len(prev):
+            d = [b - a for a, b in zip(prev, now)]
+            tot = sum(d) or 1
+            cpu_segments[f"{last_mark[0]}->{name}"] = {
+                "busy_pct": round(100 * (d[0] + d[1] + d[2]) / tot, 1),
+                "steal_pct": round(100 * d[7] / tot, 2),
+            }
+        cpu_marks[name] = now
+        last_mark[0] = name
+
+    gate_budget = [LOADGATE_MAX_WAIT]
+    gate_log: dict = {}
+
+    def load_gate(point: str) -> None:
+        """Defer this phase until the 1-min load is quiet, the shared wait
+        budget runs out, or loadavg is unreadable. Wait-only: once the
+        phase starts, nothing downstream consults the load again."""
+        waited = 0.0
+        seen = []
+        while True:
+            l = loadavg()
+            seen.append(l[0] if l else None)
+            if not l or l[0] < LOADGATE_LOAD:
+                break
+            if waited >= gate_budget[0]:
+                log(f"load gate [{point}]: budget exhausted at load {l[0]}; running anyway")
+                break
+            step = min(LOADGATE_STEP, gate_budget[0] - waited)
+            log(f"load gate [{point}]: 1-min load {l[0]} >= {LOADGATE_LOAD}; waiting {step:.0f}s")
+            time.sleep(step)
+            waited += step
+        gate_budget[0] -= waited
+        gate_log[point] = {"waited_sec": round(waited, 0), "loads_seen": seen}
+
+    load_gate("bench_start")
     host_load = {"start": loadavg()}
 
     t_start = time.time()
@@ -346,6 +411,12 @@ def main() -> None:
         times = run_headline(spark)
         spark.stop()
         host_load["after_headline"] = loadavg()
+        mark_cpu("after_headline")
+
+        # gate the scaling phase (VERDICT r6 #1), then re-base the pair
+        # deadline so the wait + headline never eat the pair schedule
+        load_gate("scaling_start")
+        t_scaling = time.time()
 
         # interleaved pinned scaling visits: N, 4N, N, 4N
         samples = {N_SMALL: [], N_BIG: []}
@@ -360,10 +431,10 @@ def main() -> None:
         visit_minima = {"small": [], "big": []}
         pairs_run = 0
         for pair_idx in range(N_PAIRS):
-            elapsed = time.time() - t_start
+            elapsed = time.time() - t_scaling
             if pair_idx > 0 and elapsed > PAIR_DEADLINE_SEC:
                 log(
-                    f"budget truncation: {elapsed:.0f}s elapsed > "
+                    f"budget truncation: {elapsed:.0f}s scaling elapsed > "
                     f"{PAIR_DEADLINE_SEC:.0f}s deadline; dropping "
                     f"{N_PAIRS - pair_idx} whole pair(s)"
                 )
@@ -376,6 +447,7 @@ def main() -> None:
                 visit_minima[which].append(min(r["times"]))
                 n_docs = r["n_docs"]
             host_load[f"after_pair_{pair_idx + 1}"] = loadavg()
+            mark_cpu(f"after_pair_{pair_idx + 1}")
             pairs_run += 1
 
         t_small = min(samples[N_SMALL])
@@ -476,6 +548,10 @@ def main() -> None:
             # pair means external contention — the record explains its
             # own scaling_floor_exceeded flags
             "host_load": host_load,
+            # per-segment busy/steal (hypervisor neighbors appear as steal
+            # in this VM, NOT in loadavg — loadavg only sees our runqueue)
+            "cpu_segments": cpu_segments,
+            "load_gate": gate_log,
             "bench_total_sec": round(time.time() - t_start, 1),
         }
         print(json.dumps(result), flush=True)

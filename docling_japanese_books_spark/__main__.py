@@ -100,6 +100,7 @@ def cmd_curate(args) -> int:
         near_dup_threshold=args.near_dup,
         model_quality_min=args.model_quality,
         substring_min_len=args.substring_min_len,
+        semantic_tau=args.semantic_tau,
     )
     curated.write.mode("overwrite").parquet(args.output)
     line = (
@@ -109,10 +110,13 @@ def cmd_curate(args) -> int:
     )
     if report.rows_model_quality_pass is not None:
         line += f" model_pass={report.rows_model_quality_pass}"
+    if report.rows_after_semantic_dedup is not None:
+        line += f" semantic_dedup={report.rows_after_semantic_dedup}"
     if report.rows_after_substring_cut is not None:
         line += (
             f" substring_cut={report.rows_after_substring_cut}"
             f" chars_removed={report.substring_chars_removed}"
+            f" substring_path={report.substring_path}"
         )
     print(line)
     return 0
@@ -186,6 +190,10 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--substring-min-len", type=int, default=None,
         help="enable the ExactSubstr cut at this window length",
+    )
+    cu.add_argument(
+        "--semantic-tau", type=float, default=None,
+        help="enable SemDeDup semantic dedup at this cosine threshold",
     )
     cu.set_defaults(fn=cmd_curate)
 

