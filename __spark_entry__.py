@@ -40,8 +40,12 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # via q3_shipping_priority / corpus_stats / emb_cosine_topk /
     # doc_dedup_exact / customers_without_orders (LeftSemi plan shape
     # pinned inline in tests/test_plans.py).
-    # trivial filter; F1-3/F6 ride other green queries
-    "doc_nonempty": ("doc_lang_quality", "q1_pricing_summary"),
+    # round-7 retirements (VERDICT r6 #3: recover DEMOTED headroom):
+    # doc_nonempty, doc_preview, doc_chunk_estimate, events_improvement_pct,
+    # doc_file_stem deleted outright — plain-shape redundancy whose
+    # surrogates were long-stable; their column functions (preview,
+    # file_stem, chunks_per_book, improvement_pct, the trim-nonempty
+    # filter) stay pinned by tests/test_text_functions.py unit goldens.
     # fires on planted twins; cosine family green via similarity_topk_batch
     # (r6: emb_pairwise_stats surrogate was itself demoted in r5 — re-point
     # at the in-window adjacent-pair cosine flagship)
@@ -50,9 +54,6 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     "search_filtered": ("doc_indicator_flags", "q3_shipping_priority"),
     "best_event_type_per_user": ("best_doc_per_source",),  # argmax shape
     "event_type_wins": ("events_type_stats",),  # win-count agg
-    # substring/head-n (r6: doc_file_stem surrogate was demoted in r5 —
-    # url_host_normalize carries the in-window string-extraction shape)
-    "doc_preview": ("image_manifest", "url_host_normalize"),
     # round-3 swaps: unique shapes promoted in; redundant greens out
     "emb_cosine_topk": ("similarity_topk_batch",),  # brute-force cosine top-k
     "quantization_storage": ("emb_quantize_int8",),  # A14; real kernels green
@@ -66,7 +67,6 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     "extract_metrics": ("extract_roundtrip", "events_type_stats"),
     # round-4 swaps: jpeg_pixel_roundtrip + snapshot_time_travel (new
     # unique coverage) promoted in; redundant-coverage greens out
-    "events_improvement_pct": ("events_type_stats", "doc_indicator_flags"),
     # same deterministic md5-bucket assignment algebra, richer query
     "doc_hash_split": ("doc_stratified_sample",),
     # lossless-codec roundtrip shape green via the PNG row; GIF specifics
@@ -88,9 +88,6 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # exact-dedup row, the gaps-and-islands merge green via
     # sessionization; planted-banner semantics pinned by tests/test_dedup
     "dedup_substring_stats": ("doc_dedup_exact", "events_sessionization"),
-    # C6 is plain ceil arithmetic; the shape rides richer green agg rows
-    # (url_host_normalize promoted in its slot — new unique coverage)
-    "doc_chunk_estimate": ("corpus_stats", "doc_token_stats"),
     # CDXJ parse = from_json + timestamp parse + try-casts: both shapes
     # green in-window; CDX specifics pinned by tests/test_cdx.py (incl.
     # the index -> byte-range -> WARC fetch e2e)
@@ -112,8 +109,6 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # (the last accepted-but-unparseable formats, now oracle-gated).
     # plain cumulative window — sessionization runs the same shape plus lag
     "events_running_sum": ("events_sessionization",),
-    # stem regexp extraction; richer regexp/url algebra green in-window
-    "doc_file_stem": ("url_host_normalize", "image_manifest"),
     # ann_ivf_persist promoted in (durable-index search, ref
     # vector_db.py:208-229); pairwise cosine mean/std algebra stays green
     # via the flagship adjacent-pair window query
@@ -122,6 +117,11 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # algebra); script-count/confidence algebra stays green via the
     # indicator-flags and lang-quality rows
     "doc_japanese_confidence": ("doc_indicator_flags", "doc_lang_quality"),
+    # round-7 swap: semdedup_verdicts promoted in (embedding-level dedup —
+    # new unique coverage); exact-quantile agg is a plain single-group
+    # aggregate whose grouped-agg shape rides the rollup and mean/std rows
+    # (percentile specifics have no SURVEY §2 op of their own)
+    "order_price_quantiles": ("orders_rollup", "events_type_stats"),
 }
 
 

@@ -128,9 +128,12 @@ def lzw_decode(data: bytes, expected: Optional[int] = None) -> bytes:
     while True:
         while nbits < width:
             if pos >= n:
-                # data exhausted without EOI: accept only if we produced
-                # exactly the expected payload (some writers omit EOI)
-                if expected is not None and len(out) != expected:
+                # data exhausted without EOI: accept only if the caller
+                # told us the payload size and we produced exactly it
+                # (some writers omit EOI). Without `expected` there is no
+                # way to tell a complete payload from a truncation, so a
+                # missing EOI is an error — not a silent partial return.
+                if expected is None or len(out) != expected:
                     raise ValueError("LZW stream truncated")
                 return bytes(out)
             acc = (acc << 8) | data[pos]

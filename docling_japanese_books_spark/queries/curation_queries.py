@@ -134,6 +134,63 @@ def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", r6(F.col("score")).alias("score"), "rank")
 
 
+_SEM_CORPUS = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+"""
+
+
+@query(
+    "semdedup_verdicts",
+    f"""
+    WITH corpus AS ({_SEM_CORPUS}),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             embedding AS cvec
+      FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 8)
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cid AS cluster_id FROM (
+        SELECT c.vec_id, c.embedding, ce.cid,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(coalesce({_COS.format(a="c.embedding", b="ce.cvec")}, 0.0), 6) DESC,
+                          ce.cid) AS rn
+        FROM corpus c CROSS JOIN cents ce)
+      WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+       AND round(coalesce({_COS.format(a="a.embedding", b="b.embedding")}, 0.0), 6) >= 0.95
+    )
+    SELECT a.vec_id, CAST(a.cluster_id AS INT) AS cluster_id,
+           (d.vec_id IS NULL) AS kept
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+)
+def semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup embedding-level dedup (Abbas et al. 2023) over the
+    embeddings table + planted exact twins of vec_id < 10 (id + 1e6):
+    cluster on the 8 deterministic smallest-id centroids, then drop every
+    member with a smaller-id same-cluster neighbor at 6-dp cosine >= 0.95.
+    The reference's vector path stops at store-and-search
+    (vector_db.py:208-229) — this is the training-pipeline extension.
+    Declarative end to end: broadcast centroid join + partial-aggregable
+    argmax + within-cluster EXISTS self-join (tests/test_semdedup.py pins
+    the window-free plan)."""
+    from ..operators.semdedup import first_k_centroids, semdedup
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    return semdedup(corpus, first_k_centroids(corpus, 8), tau=0.95)
+
+
 @query(
     "ann_ivf_persist",
     f"""

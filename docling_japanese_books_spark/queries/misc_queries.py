@@ -213,45 +213,6 @@ def chunk_image_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "doc_file_stem",
-    r"""
-    SELECT doc_id, path,
-           regexp_extract(path, '([^/]+?)(?:\.[^./]*)?$', 1) AS stem
-    FROM (
-      SELECT doc_id,
-             '/corpus/' || source || '/doc_' || CAST(doc_id AS VARCHAR) ||
-             CASE CAST(doc_id % 4 AS INTEGER)
-               WHEN 0 THEN '.pdf'
-               WHEN 1 THEN '.tar.gz'
-               WHEN 2 THEN ''
-               ELSE '.HTML' END AS path
-      FROM documents)
-    """,
-)
-def doc_file_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X10 filename stem (ref processor.py:482-483, Path(...).stem): paths
-    synthesized inside the plan cover single-suffix, multi-suffix
-    (.tar.gz -> keeps .tar), no-suffix, and upper-case-extension shapes;
-    the oracle replays the identical regex in DuckDB's RE2."""
-    from ..functions.text import file_stem
-
-    docs = t(spark, sf_dir, "documents")
-    path = F.concat(
-        F.lit("/corpus/"),
-        F.col("source"),
-        F.lit("/doc_"),
-        F.col("doc_id").cast("string"),
-        F.when(F.col("doc_id") % 4 == 0, F.lit(".pdf"))
-        .when(F.col("doc_id") % 4 == 1, F.lit(".tar.gz"))
-        .when(F.col("doc_id") % 4 == 2, F.lit(""))
-        .otherwise(F.lit(".HTML")),
-    )
-    return docs.select(
-        "doc_id", path.alias("path"), file_stem(path).alias("stem")
-    )
-
-
-@query(
     "snapshot_time_travel",
     """
     WITH m AS (

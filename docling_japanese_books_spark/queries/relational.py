@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..functions.vectors import cosine, improvement_pct
+from ..functions.vectors import cosine
 
 
 class QueryDef(NamedTuple):
@@ -229,37 +229,6 @@ def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_improvement_pct",
-    """
-    SELECT event_id, user_id,
-           round(CASE WHEN prev <= 0 THEN 0.0
-                      ELSE (value - prev) / prev * 100.0 END, 6) AS improvement_pct
-    FROM (
-      SELECT event_id, user_id, value,
-             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      FROM events)
-    WHERE prev IS NOT NULL
-    """,
-)
-def events_improvement_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 improvement %, (b-a)/a*100 with a<=0 guard
-    (ref embedding_evaluation.py:1008-1019), over consecutive events."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        t(spark, sf_dir, "events")
-        .withColumn("prev", F.lag("value").over(w))
-        .filter(F.col("prev").isNotNull())
-        .select(
-            "event_id",
-            "user_id",
-            r6(improvement_pct(F.col("prev"), F.col("value"))).alias(
-                "improvement_pct"
-            ),
-        )
-    )
-
-
-@query(
     "events_hourly_by_type",
     """
     SELECT strftime(time_bucket(INTERVAL 1 hour, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -342,23 +311,6 @@ def doc_source_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "doc_preview",
-    """
-    SELECT doc_id,
-           CASE WHEN length(regexp_replace(text, '[\\n\\r]', ' ', 'g')) > 80
-                THEN substr(regexp_replace(text, '[\\n\\r]', ' ', 'g'), 1, 80) || '...'
-                ELSE regexp_replace(text, '[\\n\\r]', ' ', 'g') END AS preview
-    FROM documents
-    """,
-)
-def doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6 preview truncation (ref query.py:70-76)."""
-    return t(spark, sf_dir, "documents").select(
-        "doc_id", TX.preview(F.col("text")).alias("preview")
-    )
-
-
-@query(
     "doc_dedup_exact",
     """
     SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
@@ -377,35 +329,6 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
         .drop("h")
-    )
-
-
-@query(
-    "doc_nonempty",
-    "SELECT doc_id FROM documents WHERE trim(text) <> ''",
-)
-def doc_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 empty-chunk filter (ref processor.py:381-383)."""
-    return (
-        t(spark, sf_dir, "documents")
-        .filter(F.trim(F.col("text")) != "")
-        .select("doc_id")
-    )
-
-
-@query(
-    "doc_chunk_estimate",
-    """
-    SELECT doc_id, CAST(ceil(n_chars / (500 * (1 - 0.1))) AS BIGINT) AS est_chunks
-    FROM documents
-    """,
-)
-def doc_chunk_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6 chunks-per-book estimator (ref quantization_analysis.py:188-198)."""
-    from ..operators.chunking import chunks_per_book
-
-    return t(spark, sf_dir, "documents").select(
-        "doc_id", chunks_per_book(F.col("n_chars")).alias("est_chunks")
     )
 
 

@@ -371,3 +371,21 @@ def test_bilevel_tiff_roundtrip_and_external_fixture():
     # predictor 2 on bilevel is rejected on both sides
     with pytest.raises(ValueError, match="bilevel"):
         pixels_to_tiff(np.ones((2, 2), dtype=bool), predictor=2)
+
+
+def test_lzw_decode_without_expected_requires_eoi():
+    """ADVICE r7: with expected=None a missing EOI is indistinguishable
+    from truncation, so it must raise rather than silently return a
+    partial payload; with EOI present expected=None decodes fine."""
+    import pytest
+
+    from docling_japanese_books_spark.multimodal.tiff_codec import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    data = b"spam and eggs" * 7
+    full = lzw_encode(data)            # encoder always emits EOI
+    assert lzw_decode(full) == data    # expected=None, EOI present: ok
+    with pytest.raises(ValueError):
+        lzw_decode(full[:-2])          # EOI sheared off: truncation
