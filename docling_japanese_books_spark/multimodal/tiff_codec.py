@@ -13,9 +13,11 @@ PIL. Scope is the baseline subset that covers them:
   samples dropped), 3 (palette via ColorMap, 16-bit entries scaled);
 - Compression 1 (none), 5 (LZW per TIFF 6.0 §13: MSB-first bit
   packing, ClearCode 256 / EOI 257, the spec's EARLY code-width change
-  at table sizes 511/1023/2047, Clear emitted at 4094) and 32773
-  (PackBits), all per-strip; Predictor 2 (horizontal differencing,
-  §14) honored on decode and available on encode;
+  at table sizes 511/1023/2047, Clear emitted at 4094), 8 (Deflate,
+  the TIFF-F/Adobe extension: one zlib stream per strip/tile; legacy
+  code 32946 decoded identically), and 32773 (PackBits), all
+  per-strip; Predictor 2 (horizontal differencing, §14) honored on
+  decode and available on encode;
 - strip layout (StripOffsets/StripByteCounts/RowsPerStrip) AND §15
   tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts, edge
   tiles padded to full size, predictor applied per tile row).
@@ -31,6 +33,7 @@ byte layout so the writer<->decoder loop is broken.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import List, Optional
 
 import numpy as np
@@ -308,7 +311,7 @@ def tiff_to_pixels(data: bytes) -> "np.ndarray":
     if bilevel and samples != 1:
         raise ValueError("bilevel TIFF must have exactly 1 sample/pixel")
     comp = one(TAG_COMPRESSION, 1)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"unsupported TIFF compression {comp}")
     predictor = one(TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
@@ -328,6 +331,14 @@ def tiff_to_pixels(data: bytes) -> "np.ndarray":
             blob = packbits_decode(blob, expected)
         elif comp == 5:
             blob = lzw_decode(blob, expected)
+        elif comp in (8, 32946):
+            # Deflate (TIFF-F / Adobe extension; 32946 is the legacy
+            # pre-registration code with identical semantics): one raw
+            # zlib stream per segment
+            try:
+                blob = zlib.decompress(blob)
+            except zlib.error as ex:
+                raise ValueError(f"{label}: bad deflate stream: {ex}") from ex
         if len(blob) < expected:
             raise ValueError(f"{label} short: {len(blob)} < {expected} bytes")
         blob = blob[:expected]
@@ -422,8 +433,10 @@ def pixels_to_tiff(
     optional PackBits or LZW §13 with optional horizontal-differencing
     predictor, either byte order). Edge tiles are zero-padded to full
     tile size per the spec."""
-    if compression not in (1, 5, 32773):
-        raise ValueError(f"writer supports compression 1/5/32773, not {compression}")
+    if compression not in (1, 5, 8, 32773):
+        raise ValueError(
+            f"writer supports compression 1/5/8/32773, not {compression}"
+        )
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
     bilevel = np.asarray(px).dtype == np.bool_
@@ -457,6 +470,8 @@ def pixels_to_tiff(
             return packbits_encode(blob)
         if compression == 5:
             return lzw_encode(blob)
+        if compression == 8:
+            return zlib.compress(blob, 6)
         return blob
 
     flat3 = flat.reshape(h, w, samples)

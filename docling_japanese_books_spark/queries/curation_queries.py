@@ -631,9 +631,10 @@ def tiff_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-TIFF decode under the gate (multimodal/tiff_codec —
     the scanned-book master format the reference's domain ships): the same
     deterministic gradient as the PNG row is written as a genuine TIFF,
-    cycling byte order (doc_id%2), compression none/PackBits/LZW
-    (doc_id%3, LZW sometimes with Predictor 2 — round-6 §13/§14 support)
-    and strip height (1 + doc_id%5 rows), decoded back pure-Python;
+    cycling byte order (doc_id%2), compression none/PackBits/LZW/Deflate
+    (doc_id%4, sometimes with Predictor 2 — §13/§14 + the Deflate
+    extension) and strip height (1 + doc_id%5 rows), decoded back
+    pure-Python;
     width/height/pixel-mean come from the DECODED pixels and the oracle
     predicts all three analytically."""
     from ..multimodal.tiff_codec import pixels_to_tiff, tiff_to_pixels
@@ -657,9 +658,9 @@ def tiff_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             blob = pixels_to_tiff(
                 px,
                 byte_order="<" if d % 2 == 0 else ">",
-                compression=(1, 32773, 5)[d % 3],
+                compression=(1, 32773, 5, 8)[d % 4],
                 rows_per_strip=1 + d % 5,
-                predictor=2 if d % 6 == 2 else 1,  # LZW rows get both
+                predictor=2 if d % 6 == 2 else 1,  # some rows get both
                 # every 5th doc goes through the §15 tiled layout (same
                 # pixels, so the analytic oracle is layout-invariant)
                 tile_size=(8, 4) if d % 5 == 4 else None,

@@ -389,3 +389,79 @@ def test_lzw_decode_without_expected_requires_eoi():
     assert lzw_decode(full) == data    # expected=None, EOI present: ok
     with pytest.raises(ValueError):
         lzw_decode(full[:-2])          # EOI sheared off: truncation
+
+
+def test_deflate_roundtrip_gray_rgb_bilevel():
+    """Compression 8 (Deflate): exact roundtrips across gray / RGB /
+    bilevel, strips and tiles, with and without predictor 2."""
+    import numpy as np
+
+    from docling_japanese_books_spark.multimodal.tiff_codec import (
+        pixels_to_tiff,
+        tiff_to_pixels,
+    )
+
+    rng = np.random.RandomState(42)
+    gray = rng.randint(0, 256, (11, 17), dtype=np.uint8)
+    rgb = rng.randint(0, 256, (9, 13, 3), dtype=np.uint8)
+    bits = rng.randint(0, 2, (10, 19)).astype(bool)
+    for bo in ("<", ">"):
+        assert np.array_equal(
+            tiff_to_pixels(pixels_to_tiff(gray, compression=8, byte_order=bo)),
+            gray,
+        )
+        assert np.array_equal(
+            tiff_to_pixels(
+                pixels_to_tiff(rgb, compression=8, predictor=2, byte_order=bo)
+            ),
+            rgb,
+        )
+        assert np.array_equal(
+            tiff_to_pixels(pixels_to_tiff(bits, compression=8, byte_order=bo)),
+            bits.astype(np.uint8) * 255,
+        )
+    # tiled + deflate + predictor
+    tiled = pixels_to_tiff(rgb, compression=8, predictor=2, tile_size=(8, 4))
+    assert np.array_equal(tiff_to_pixels(tiled), rgb)
+
+
+def test_deflate_legacy_code_32946_decodes():
+    """The pre-registration code 32946 must decode identically to 8:
+    patch the Compression IFD entry in writer output (the only place the
+    SHORT value 8 appears as a tagged entry)."""
+    import struct
+
+    import numpy as np
+
+    from docling_japanese_books_spark.multimodal.tiff_codec import (
+        pixels_to_tiff,
+        tiff_to_pixels,
+    )
+
+    px = (np.arange(8 * 12, dtype=np.uint8).reshape(8, 12) * 3) % 256
+    blob = bytearray(pixels_to_tiff(px, compression=8, byte_order="<"))
+    # II entry: tag(H)=259, type(H)=3, count(I)=1, value SHORT + pad
+    old = struct.pack("<HHIHH", 259, 3, 1, 8, 0)
+    new = struct.pack("<HHIHH", 259, 3, 1, 32946, 0)
+    assert blob.count(old) == 1
+    idx = blob.index(old)
+    blob[idx : idx + len(old)] = new
+    assert np.array_equal(tiff_to_pixels(bytes(blob)), px)
+
+
+def test_deflate_corrupt_stream_raises_valueerror():
+    import numpy as np
+    import pytest
+
+    from docling_japanese_books_spark.multimodal.tiff_codec import (
+        pixels_to_tiff,
+        tiff_to_pixels,
+    )
+
+    px = np.full((6, 6), 200, dtype=np.uint8)
+    blob = bytearray(pixels_to_tiff(px, compression=8))
+    # zlib streams start with 0x78 here (deflate, 32K window): smash it
+    zi = blob.index(b"\x78", 8)
+    blob[zi] = 0xFF
+    with pytest.raises(ValueError):
+        tiff_to_pixels(bytes(blob))
