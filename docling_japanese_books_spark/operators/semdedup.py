@@ -79,7 +79,10 @@ def assign_clusters(
 ) -> DataFrame:
     """(id, vec, cluster_id): nearest centroid by cosine similarity,
     rounded to 6 dp; ties break to the smallest cid. One broadcast join +
-    one partial-aggregable groupBy — no window, no Python."""
+    one partial-aggregable groupBy — no window, no Python. The embedding
+    rides THROUGH the aggregate (``first`` over k identical copies) so no
+    join back to the corpus is needed — one shuffle on the corpus id
+    total, instead of shuffle + SMJ re-join."""
     scored = corpus.select(id_col, vec_col).join(
         F.broadcast(centroids.select("cid", "cvec"))
     ).select(
@@ -88,12 +91,18 @@ def assign_clusters(
         F.col("cid"),
         F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("_score"),
     )
-    best = (
+    return (
         scored.groupBy(id_col)
-        .agg(F.max(F.struct(F.col("_score"), (-F.col("cid")).alias("_ncid"))).alias("_b"))
-        .select(id_col, (-F.col("_b._ncid")).cast("int").alias("cluster_id"))
+        .agg(
+            F.max(
+                F.struct(F.col("_score"), (-F.col("cid")).alias("_ncid"))
+            ).alias("_b"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(
+            id_col, vec_col, (-F.col("_b._ncid")).cast("int").alias("cluster_id")
+        )
     )
-    return corpus.select(id_col, vec_col).join(best, id_col)
 
 
 def semdedup(
@@ -102,6 +111,7 @@ def semdedup(
     tau: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Semantic dedup verdict per input row: (id_col, cluster_id, kept).
 
@@ -109,8 +119,19 @@ def semdedup(
     >= tau (6-dp rounded) similar — i.e. exactly one survivor (the
     smallest id) per within-cluster similarity group under the greedy
     first-wins rule. Downstream use: ``.filter("kept")`` + join back.
-    """
+
+    The drop rule keeps its ``cluster_id`` equi-key under Catalyst (an
+    AQE-splittable SMJ, never a cartesian — plan-pinned), and the
+    LeftSemi probe early-exits per row at the FIRST matching smaller-id
+    neighbor, so dense duplicate clusters get cheaper, not quadratic.
+    ``checkpoint=True`` materializes the assignment once
+    (localCheckpoint — same non-fault-tolerant trade as the other dedup
+    operators' checkpoint modes; use df.checkpoint() on a reliable dir
+    on a real cluster): the assignment lineage otherwise evaluates once
+    per plan branch (both semi-join sides + the verdict frame)."""
     assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    if checkpoint:
+        assigned = assigned.localCheckpoint(eager=False)
     a = assigned.alias("a")
     b = assigned.alias("b")
     dropped = (

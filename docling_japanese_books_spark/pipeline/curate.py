@@ -141,7 +141,12 @@ def curate_corpus(
         cents = first_k_centroids(
             emb, semantic_clusters, id_col=url_col, vec_col="_emb"
         )
-        verdicts = semdedup(emb, cents, tau=semantic_tau, id_col=url_col, vec_col="_emb")
+        # checkpoint=True: the assignment (and the embed UDF feeding it)
+        # evaluates once, not once per semi-join branch
+        verdicts = semdedup(
+            emb, cents, tau=semantic_tau, id_col=url_col, vec_col="_emb",
+            checkpoint=True,
+        )
         sem = curated.join(
             verdicts.filter(F.col("kept")).select(url_col), [url_col], "left_semi"
         ).persist()

@@ -118,3 +118,36 @@ def test_assignment_plan_broadcasts_centroids_no_window(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan  # argmax is the partial-aggregable max(struct)
     assert "ArrowEvalPython" not in plan  # fully declarative: no Python
+    # vec rides through the aggregate: no SMJ re-join back to the corpus
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_drop_join_keeps_equi_key(spark):
+    """The 100 TB guard: Catalyst must extract cluster_id as the drop
+    join's equi-key — the semi join is a hash/merge join on the cluster,
+    never a corpus-level cartesian (the inequality + cosine ride as
+    post-conditions)."""
+    rng = np.random.RandomState(5)
+    df = _frame(spark, rng.randn(40, 8))
+    plan = semdedup(df, first_k_centroids(df, 4))._jdf.queryExecution().executedPlan().toString()
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert semi, plan
+    for line in semi:
+        assert "cluster_id" in line, line          # equi-key extracted
+        assert "BroadcastNestedLoopJoin" not in line, line
+    # the only nested-loop joins are the bounded k x k centroid ranks
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "LeftSemi" not in line and "cos" not in line.lower(), line
+
+
+def test_semdedup_dense_cluster_early_exit(spark):
+    """Adversarial: ONE cluster of 3k identical vectors. The LeftSemi
+    probe exits at the first smaller-id match, so the verdict is exact
+    (only the smallest id survives) without quadratic pair work."""
+    v = [1.0, 2.0, 3.0, 4.0]
+    ids = [7 * i + 3 for i in range(3000)]
+    df = _frame(spark, [v] * 3000, ids=ids)
+    out = semdedup(df, first_k_centroids(df, 2), tau=0.999, checkpoint=True)
+    kept = [r.vec_id for r in out.filter("kept").collect()]
+    assert kept == [3]  # smallest id only; all 2999 twins dropped
