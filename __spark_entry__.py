@@ -117,6 +117,10 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # algebra); script-count/confidence algebra stays green via the
     # indicator-flags and lang-quality rows
     "doc_japanese_confidence": ("doc_indicator_flags", "doc_lang_quality"),
+    # WET conversion-record parse rides the same record walk +
+    # mapInPandas shapes as the WARC row; WET specifics (warcinfo skip,
+    # no-HTTP-envelope body, utf-8 contract) pinned by tests/test_warc.py
+    "wet_roundtrip": ("warc_roundtrip", "extract_roundtrip"),
     # round-7 swap: semdedup_verdicts promoted in (embedding-level dedup —
     # new unique coverage); exact-quantile agg is a plain single-group
     # aggregate whose grouped-agg shape rides the rollup and mean/std rows

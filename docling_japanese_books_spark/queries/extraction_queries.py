@@ -156,6 +156,60 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wet_roundtrip",
+    """
+    SELECT doc_id,
+           'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           true AS text_match
+    FROM documents
+    """,
+)
+def wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl WET (extracted-text sidecar) connector under an
+    oracle: each document becomes a REAL ``conversion`` record behind a
+    ``warcinfo`` header (sources/warc.py WET writer), parsed back; url
+    and byte-identical text must survive. Demoted from birth — the
+    record-walk + mapInPandas shapes are green via warc_roundtrip /
+    extract_roundtrip; WET specifics are pinned by tests/test_warc.py."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    from ..sources.warc import build_wet, parse_wet
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), True),
+            T.StructField("text_match", T.BooleanType(), True),
+        ]
+    )
+    ts = _dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    @F.pandas_udf(schema)
+    def roundtrip(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
+        rows = []
+        for d, t_ in zip(doc_id, text):
+            url = f"https://corpus.example/doc/{int(d)}"
+            blob = build_wet([(url, ts, t_ or "")])
+            parsed = next(parse_wet(blob), None)
+            rows.append(
+                dict(
+                    url=parsed["url"] if parsed else None,
+                    text_match=bool(parsed and parsed["text"] == (t_ or "")),
+                )
+            )
+        return pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents")
+    e = roundtrip(F.col("doc_id"), F.col("text"))
+    return docs.select(
+        "doc_id",
+        e.getField("url").alias("url"),
+        e.getField("text_match").alias("text_match"),
+    )
+
+
+@query(
     "charset_extract",
     """
     SELECT doc_id,

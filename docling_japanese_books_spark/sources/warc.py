@@ -172,10 +172,10 @@ def _parse_http_response(
     return body, lang, charset
 
 
-def parse_warc(payload: bytes) -> Iterator[dict]:
-    """WARC bytes (plain or gzip) -> pages-schema dicts for each parseable
-    ``response`` record; malformed records are skipped (yielded count vs
-    input records is the caller's error metric)."""
+def _iter_warc_records(payload: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """Walk WARC bytes (plain or gzip) yielding (headers, content) per
+    record; records with an unparseable Content-Length are skipped. Shared
+    by the WARC (``response``) and WET (``conversion``) parsers."""
     if payload[:2] == b"\x1f\x8b":
         payload = _gunzip_members(payload)
     pos = 0
@@ -198,6 +198,14 @@ def parse_warc(payload: bytes) -> Iterator[dict]:
             continue
         content = payload[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
+        yield headers, content
+
+
+def parse_warc(payload: bytes) -> Iterator[dict]:
+    """WARC bytes (plain or gzip) -> pages-schema dicts for each parseable
+    ``response`` record; malformed records are skipped (yielded count vs
+    input records is the caller's error metric)."""
+    for headers, content in _iter_warc_records(payload):
         if headers.get(b"warc-type") != b"response":
             continue
         try:
@@ -211,6 +219,82 @@ def parse_warc(payload: bytes) -> Iterator[dict]:
         yield dict(
             url=url, warc_ts=ts, html=body, text="", lang=lang or "und",
             charset_hint=charset,
+        )
+
+
+# ---------------------------------------------------------------------------
+# WET (Common Crawl extracted-text sidecar: WARC with `conversion` records)
+# ---------------------------------------------------------------------------
+
+
+def build_wet_record(url: str, ts: dt.datetime, text: str) -> bytes:
+    """One WET ``conversion`` record: the extracted plain text as UTF-8,
+    no HTTP envelope (the Common Crawl *.warc.wet layout)."""
+    body = text.encode("utf-8")
+    headers = (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: conversion" + CRLF
+        + f"WARC-Target-URI: {url}".encode("ascii") + CRLF
+        + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}".encode("ascii") + CRLF
+        + b"Content-Type: text/plain" + CRLF
+        + f"Content-Length: {len(body)}".encode("ascii") + CRLF
+        + CRLF
+    )
+    return headers + body + CRLF + CRLF
+
+
+def _build_warcinfo(ts: dt.datetime) -> bytes:
+    info = b"format: WARC File Format 1.0" + CRLF
+    return (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: warcinfo" + CRLF
+        + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}".encode("ascii") + CRLF
+        + b"Content-Type: application/warc-fields" + CRLF
+        + f"Content-Length: {len(info)}".encode("ascii") + CRLF
+        + CRLF
+        + info + CRLF + CRLF
+    )
+
+
+def build_wet(records: List[Tuple[str, dt.datetime, str]]) -> bytes:
+    """Standards-shaped WET file: a leading ``warcinfo`` record (skipped by
+    the parser, present in every real Common Crawl WET) + conversions."""
+    ts0 = records[0][1] if records else dt.datetime(2024, 1, 1)
+    return _build_warcinfo(ts0) + b"".join(
+        build_wet_record(u, ts, x) for u, ts, x in records
+    )
+
+
+def build_wet_gz(records: List[Tuple[str, dt.datetime, str]]) -> bytes:
+    """One gzip member per record, like the WARC layout."""
+    ts0 = records[0][1] if records else dt.datetime(2024, 1, 1)
+    return gzip.compress(_build_warcinfo(ts0)) + b"".join(
+        gzip.compress(build_wet_record(u, ts, x)) for u, ts, x in records
+    )
+
+
+def parse_wet(payload: bytes) -> Iterator[dict]:
+    """WET bytes (plain or gzip) -> pages-schema dicts per ``conversion``
+    record: the stored body IS the extracted text (UTF-8 per the format;
+    undecodable bytes are replaced, not fatal — a skipped record would
+    hide the page entirely). ``html`` stays empty: these pages enter the
+    pipeline downstream of extraction."""
+    for headers, content in _iter_warc_records(payload):
+        if headers.get(b"warc-type") != b"conversion":
+            continue
+        try:
+            url = headers[b"warc-target-uri"].decode("utf-8")
+            ts = dt.datetime.strptime(
+                headers[b"warc-date"].decode("ascii")[:19], "%Y-%m-%dT%H:%M:%S"
+            )
+        except (KeyError, ValueError, UnicodeDecodeError):
+            continue
+        yield dict(
+            url=url,
+            warc_ts=ts,
+            html=b"",
+            text=content.decode("utf-8", errors="replace"),
+            lang="und",
         )
 
 
@@ -246,3 +330,25 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
             )
 
     return raw.mapInPandas(op, WARC_PAGES_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WET archive glob -> pages DataFrame with ``text`` already populated
+    (extraction already happened upstream at Common Crawl): binaryFile
+    scan + one mapInPandas parse stage, executor-side — the same
+    one-row-per-archive parallelism contract as ``read_warc``."""
+    raw = spark.read.format("binaryFile").load(path_glob).select("content")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: List[dict] = []
+            for payload in pdf["content"]:
+                try:
+                    rows.extend(parse_wet(bytes(payload)))
+                except Exception:
+                    continue  # unreadable archive: contributes no pages
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return raw.mapInPandas(op, PAGES_SCHEMA)

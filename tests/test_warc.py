@@ -168,3 +168,89 @@ def test_http_header_charset_drives_decoding(spark, tmp_path):
         assert out[url].status == "ok", url
         assert out[url].encoding == "shift_jis", url
         assert "吾輩は猫である" in out[url].text, url
+
+
+# ---------------------------------------------------------------------------
+# WET (Common Crawl extracted-text sidecar)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_wet_plain_and_gzip():
+    from docling_japanese_books_spark.sources.warc import (
+        build_wet,
+        build_wet_gz,
+        parse_wet,
+    )
+
+    recs = [
+        ("https://a.example/1", TS, "plain text one, already extracted"),
+        ("https://b.example/2", TS, "日本語のテキスト page two"),
+    ]
+    for blob in (build_wet(recs), build_wet_gz(recs)):
+        got = list(parse_wet(blob))
+        assert [g["url"] for g in got] == [u for u, _, _ in recs]
+        assert [g["text"] for g in got] == [x for _, _, x in recs]
+        assert all(g["html"] == b"" and g["lang"] == "und" for g in got)
+        assert all(g["warc_ts"] == TS for g in got)
+
+
+def test_parse_wet_skips_warcinfo_and_response_records():
+    from docling_japanese_books_spark.sources.warc import (
+        build_wet,
+        build_wet_record,
+        parse_wet,
+    )
+
+    # a WET file always leads with warcinfo (build_wet emits one); splice
+    # in a WARC response record too — only conversions must come back
+    blob = (
+        build_wet([("https://a.example/1", TS, "keep me")])
+        + build_warc_record("https://a.example/skip", TS, b"<html>no</html>")
+        + build_wet_record("https://a.example/2", TS, "also kept")
+    )
+    got = list(parse_wet(blob))
+    assert [g["url"] for g in got] == [
+        "https://a.example/1",
+        "https://a.example/2",
+    ]
+    # and the WARC parser conversely skips the conversions
+    from docling_japanese_books_spark.sources.warc import parse_warc
+
+    assert [g["url"] for g in parse_warc(blob)] == ["https://a.example/skip"]
+
+
+def test_parse_wet_malformed_record_skipped_replacement_chars_kept():
+    from docling_japanese_books_spark.sources.warc import (
+        build_wet_record,
+        parse_wet,
+    )
+
+    good = build_wet_record("https://a.example/ok", TS, "fine")
+    # invalid utf-8 in the body: NOT fatal (replaced), page still surfaces
+    bad_utf8 = build_wet_record("https://a.example/bin", TS, "x")
+    bad_utf8 = bad_utf8.replace(b"\r\n\r\nx", b"\r\n\r\n\xff")
+    # missing WARC-Date -> record skipped
+    no_date = build_wet_record("https://a.example/nodate", TS, "zzz")
+    no_date = no_date.replace(b"WARC-Date: ", b"X-Date: ")
+    got = list(parse_wet(good + bad_utf8 + no_date))
+    assert [g["url"] for g in got] == [
+        "https://a.example/ok",
+        "https://a.example/bin",
+    ]
+    assert got[1]["text"] == "�"
+
+
+def test_read_wet_spark_operator(spark, tmp_path):
+    from docling_japanese_books_spark.sources.warc import build_wet_gz, read_wet
+
+    for part in range(3):
+        recs = [
+            (f"https://w{part}.example/{i}", TS, f"extracted text {part}-{i}")
+            for i in range(4)
+        ]
+        (tmp_path / f"part{part}.warc.wet.gz").write_bytes(build_wet_gz(recs))
+    df = read_wet(spark, str(tmp_path / "*.warc.wet.gz"))
+    rows = {r.url: r for r in df.collect()}
+    assert len(rows) == 12
+    assert rows["https://w1.example/2"].text == "extracted text 1-2"
+    assert rows["https://w1.example/2"].html == bytearray(b"")
