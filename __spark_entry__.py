@@ -49,10 +49,15 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # fires on planted twins; cosine family green via similarity_topk_batch
     # (r6: emb_pairwise_stats surrogate was itself demoted in r5 — re-point
     # at the in-window adjacent-pair cosine flagship)
+    # round-7 late retirements: best_event_type_per_user (named-column
+    # argmax CASE — A8 rides the in-window best_doc_per_source row, and the
+    # same CASE algebra survives verbatim inside event_type_wins' oracle)
+    # and events_running_sum (plain cumulative window; sessionization runs
+    # the same frame plus lag) deleted outright — neither carried a unique
+    # SURVEY §2 op.
     "emb_near_dup_pairs": ("similarity_topk_batch", "emb_context_preservation"),
     # equality filter; F-family rides other greens
     "search_filtered": ("doc_indicator_flags", "q3_shipping_priority"),
-    "best_event_type_per_user": ("best_doc_per_source",),  # argmax shape
     "event_type_wins": ("events_type_stats",),  # win-count agg
     # round-3 swaps: unique shapes promoted in; redundant greens out
     "emb_cosine_topk": ("similarity_topk_batch",),  # brute-force cosine top-k
@@ -107,8 +112,6 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     "doc_lm_quality": ("doc_lang_quality", "dedup_ngram_jaccard"),
     # round-5 swaps: docx_real_roundtrip + pptx_real_roundtrip promoted in
     # (the last accepted-but-unparseable formats, now oracle-gated).
-    # plain cumulative window — sessionization runs the same shape plus lag
-    "events_running_sum": ("events_sessionization",),
     # ann_ivf_persist promoted in (durable-index search, ref
     # vector_db.py:208-229); pairwise cosine mean/std algebra stays green
     # via the flagship adjacent-pair window query
@@ -121,6 +124,23 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # mapInPandas shapes as the WARC row; WET specifics (warcinfo skip,
     # no-HTTP-envelope body, utf-8 contract) pinned by tests/test_warc.py
     "wet_roundtrip": ("warc_roundtrip", "extract_roundtrip"),
+    # WAT metadata-record parse rides the same record walk + JSON-parse +
+    # explode shapes as the WARC and events-JSON rows; WAT specifics
+    # (envelope navigation, warcinfo/malformed-JSON skip) and the
+    # link-graph aggregates are pinned by tests/test_warc.py +
+    # tests/test_linkgraph.py — demoted from birth
+    "wat_links": ("warc_roundtrip", "events_json_props"),
+    # CCNet head/middle/tail bucketing: the LM-score algebra is green via
+    # the in-window doc_lang_quality row (same textstats family) and the
+    # cumulative-window CDF shape via events_sessionization; bucket
+    # boundary semantics pinned by tests/test_textstats.py — demoted from
+    # birth
+    "doc_perplexity_buckets": ("doc_lang_quality", "events_sessionization"),
+    # temperature-mixing: the deterministic md5-bucket keep rule is green
+    # via the in-window doc_stratified_sample row, the per-domain plan agg
+    # via orders_rollup; alpha/saturation semantics pinned by
+    # tests/test_sampling.py — demoted from birth
+    "doc_domain_mixture": ("doc_stratified_sample", "orders_rollup"),
     # round-7 swap: semdedup_verdicts promoted in (embedding-level dedup —
     # new unique coverage); exact-quantile agg is a plain single-group
     # aggregate whose grouped-agg shape rides the rollup and mean/std rows

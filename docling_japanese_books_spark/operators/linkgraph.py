@@ -1,0 +1,81 @@
+"""Crawl link-graph operators over WAT metadata.
+
+Common Crawl publishes its host-level web graph (in/out degrees, rank)
+computed from the WAT sidecars' ``Links`` arrays; crawl-frontier ranking
+and domain-quality heuristics in webtext pipelines consume exactly these
+aggregates. Built Spark-first over the ``read_wat`` schema:
+
+- ``host_link_edges``: pages ``(url, links array<struct<url,text>>)`` ->
+  host-level edge list ``(src_host, dst_host, n_links)``. Explode is the
+  only row expansion (bounded by total link count — the data itself);
+  host extraction is the JVM-side regex from ``functions.urls``; the
+  aggregate is a plain groupBy with map-side combine. Self-links are
+  kept — dropping them is a caller-side filter, not a graph property.
+- ``host_degrees``: edge list -> per-host fan-in/fan-out ``(host,
+  in_degree, out_degree, in_hosts, out_hosts)`` where degrees count link
+  occurrences and ``*_hosts`` count distinct neighbor hosts. Computed as
+  two grouped aggregates unioned by host via a full outer join on the
+  (already small) edge aggregate — never a second pass over the pages.
+
+Scale: the edge list after the first groupBy is |distinct host pairs|,
+orders of magnitude below the raw link count; everything downstream of
+the explode is partial-aggregable. Skewed hubs (a host every page links
+to) concentrate on the DST key of the first groupBy — AQE skew-join
+handling applies, and the map-side combine already collapses per-task
+duplicates before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import host_of
+
+
+def host_link_edges(
+    pages: DataFrame, url_col: str = "url", links_col: str = "links"
+) -> DataFrame:
+    """(src_host, dst_host, n_links) from a WAT-schema pages frame.
+
+    Links whose href has no extractable host (relative urls, mailto:,
+    javascript:) aggregate under dst_host '' — kept, because the fraction
+    of non-navigational hrefs is itself a crawl-quality signal; callers
+    filter them with one predicate.
+    """
+    link = F.explode(F.col(links_col)).alias("link")
+    return (
+        pages.select(
+            host_of(F.col(url_col)).alias("src_host"),
+            link,
+        )
+        .select(
+            "src_host", host_of(F.col("link.url")).alias("dst_host")
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """Per-host degree summary from a ``host_link_edges`` output:
+    (host, in_degree, out_degree, in_hosts, out_hosts), zeros where a
+    host appears on only one side of the graph."""
+    outs = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.sum("n_links").alias("out_degree"),
+        F.count("*").alias("out_hosts"),
+    )
+    ins = edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.sum("n_links").alias("in_degree"),
+        F.count("*").alias("in_hosts"),
+    )
+    return (
+        outs.join(ins, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_hosts", F.lit(0)).cast("long").alias("in_hosts"),
+            F.coalesce("out_hosts", F.lit(0)).cast("long").alias("out_hosts"),
+        )
+    )

@@ -1272,3 +1272,74 @@ def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_quality_score(docs, tri, bi).select(
         "doc_id", r6(F.col("lm_score")).alias("lm_score")
     )
+
+
+@query(
+    "doc_perplexity_buckets",
+    r"""
+    WITH tri_occ AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(text) >= 3
+                    THEN list_transform(range(1, length(text) - 1),
+                         i -> substr(text, CAST(i AS INT), 3))
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM documents),
+    tri AS (
+      SELECT gram, COUNT(*) AS n3 FROM tri_occ WHERE doc_id < 50
+      GROUP BY gram),
+    bi AS (
+      SELECT substr(gram, 1, 2) AS prefix, SUM(n3) AS n2 FROM tri
+      GROUP BY substr(gram, 1, 2)),
+    scored AS (
+      SELECT o.doc_id,
+             -avg(ln((coalesce(t.n3, 0) + 1) * 1.0
+                     / (coalesce(b.n2, 0) + 256))) AS s
+      FROM tri_occ o
+      LEFT JOIN tri t USING (gram)
+      LEFT JOIN bi b ON substr(o.gram, 1, 2) = b.prefix
+      GROUP BY o.doc_id),
+    sc AS (
+      SELECT d.doc_id, round(coalesce(s.s, 0.0), 6) AS lm_score
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id),
+    dist AS (
+      SELECT lm_score AS v, count(*) AS n FROM sc GROUP BY lm_score),
+    cum AS (
+      SELECT v,
+             sum(n) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1.0 / (SELECT sum(n) FROM dist) AS f
+      FROM dist),
+    thr AS (
+      SELECT min(CASE WHEN f >= 1.0 / 3 THEN v END) AS t0,
+             min(CASE WHEN f >= 2.0 / 3 THEN v END) AS t1
+      FROM cum)
+    SELECT sc.doc_id, sc.lm_score,
+           CASE WHEN sc.lm_score <= thr.t0 THEN 'head'
+                WHEN sc.lm_score <= thr.t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc, thr
+    """,
+)
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (operators/lm_quality.py
+    ``perplexity_buckets``): char-LM cross-entropy scores (trained on the
+    first 50 documents, as doc_lm_quality) cut at exact empirical
+    1/3 / 2/3 quantiles of the rounded score distribution — the window
+    runs over the distinct-score AGGREGATE, never the corpus, and the
+    two thresholds ride back as a broadcast row. The oracle replays
+    score -> distribution -> CDF -> thresholds -> CASE in DuckDB.
+    Demoted from birth: the quality-score algebra is green via the
+    in-window doc_lang_quality row and the cumulative-window shape via
+    events_sessionization; bucket semantics (boundary ties, custom
+    boundaries, degenerate one-value distributions) are pinned by
+    tests/test_textstats.py."""
+    from ..operators.lm_quality import (
+        lm_quality_score,
+        perplexity_buckets,
+        train_trigram_counts,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    tri, bi = train_trigram_counts(docs.filter(F.col("doc_id") < 50))
+    scored = lm_quality_score(docs, tri, bi)
+    return perplexity_buckets(scored).select("doc_id", "lm_score", "bucket")

@@ -55,6 +55,66 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_domain_mixture",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             'host' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS domain
+      FROM documents),
+    cnt AS (SELECT domain, count(*) AS n_docs FROM d GROUP BY domain),
+    plan AS (
+      SELECT domain, n_docs,
+             least(1.0, 200 * (sqrt(n_docs)
+                               / (SELECT sum(sqrt(n_docs)) FROM cnt))
+                        / n_docs) AS keep_prob
+      FROM cnt),
+    kept AS (
+      SELECT d.domain, count(*) AS n_kept
+      FROM d JOIN plan USING (domain)
+      WHERE {_B} < CAST(floor(keep_prob * 1000000) AS BIGINT)
+      GROUP BY d.domain)
+    SELECT p.domain, p.n_docs, coalesce(k.n_kept, 0) AS n_kept,
+           round(p.keep_prob, 6) AS keep_prob
+    FROM plan p LEFT JOIN kept k USING (domain)
+    """,
+)
+def doc_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed domain mixing (operators/mixing.py — the
+    mBERT/XLM-R ``p_d ** alpha`` sampling rule at alpha = 0.5): one
+    grouped count builds the per-domain plan, keep_prob rides back as a
+    broadcast, and each row's fate is the deterministic md5 bucket of its
+    id — no corpus shuffle, reproducible row-for-row. The realized
+    per-domain kept counts depend on every row's hash, so the oracle
+    (which replays plan + bucket rule in DuckDB) checks the sampling
+    end-to-end, not just the arithmetic. Demoted from birth: the
+    md5-bucket algebra is green via the in-window doc_stratified_sample
+    row and the grouped-agg shape via orders_rollup; saturation and
+    flattening semantics are pinned by tests/test_sampling.py."""
+    from ..operators.mixing import temperature_mix, temperature_mix_plan
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example"),
+        ).alias("domain"),
+    )
+    plan = temperature_mix_plan(docs, "domain", alpha=0.5, target_total=200.0)
+    kept = (
+        temperature_mix(docs, "domain", plan=plan)
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return plan.join(kept, "domain", "left").select(
+        "domain",
+        "n_docs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        r6(F.col("keep_prob")).alias("keep_prob"),
+    )
+
+
 @query("chunk_pack_sequences")
 def chunk_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy fixed-budget sequence packing over word chunks (training-run

@@ -85,23 +85,10 @@ def jp_specificity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "best_event_type_per_user",
-    """
-    SELECT user_id,
-           CASE WHEN s_click >= s_purchase AND s_click >= s_view AND s_click >= s_error THEN 'click'
-                WHEN s_purchase >= s_view AND s_purchase >= s_error THEN 'purchase'
-                WHEN s_view >= s_error THEN 'view'
-                ELSE 'error' END AS best_type
-    FROM (
-      SELECT user_id,
-             coalesce(avg(value) FILTER (WHERE event_type = 'click'), 0.0)    AS s_click,
-             coalesce(avg(value) FILTER (WHERE event_type = 'purchase'), 0.0) AS s_purchase,
-             coalesce(avg(value) FILTER (WHERE event_type = 'view'), 0.0)     AS s_view,
-             coalesce(avg(value) FILTER (WHERE event_type = 'error'), 0.0)    AS s_error
-      FROM events GROUP BY user_id)
-    """,
-)
+# best_event_type_per_user retired as a registry query in round 7 (the
+# named-column argmax CASE survives verbatim inside event_type_wins' oracle
+# below, and A8 rides the in-window best_doc_per_source row); the function
+# stays as event_type_wins' building block.
 def best_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 argmax-best-model semantics (ref embedding_evaluation.py:1021-1038):
     4 named scores -> the name with the max, first-listed wins ties."""

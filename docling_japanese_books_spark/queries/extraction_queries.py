@@ -210,6 +210,102 @@ def wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wat_links",
+    """
+    SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           CAST(0 AS INT) AS link_idx,
+           'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+             || CAST(doc_id AS VARCHAR) AS link_url,
+           'ref ' || CAST(doc_id AS VARCHAR) AS anchor,
+           'host' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS dst_host
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR),
+           CAST(1 AS INT),
+           'https://host' || CAST((doc_id * 3 + 2) % 7 AS VARCHAR)
+             || '.example/q/' || CAST(doc_id AS VARCHAR),
+           'next',
+           'host' || CAST((doc_id * 3 + 2) % 7 AS VARCHAR) || '.example'
+    FROM documents
+    """,
+)
+def wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl WAT (metadata sidecar) connector under an oracle: each
+    document becomes a REAL ``metadata`` record carrying the IIPC JSON
+    envelope (sources/warc.py WAT writer) with a title and two
+    deterministic outlinks, parsed back through ``parse_wat``, exploded in
+    page order, and the per-link host extracted with the JVM-side
+    ``functions.urls.host_of`` — the link-graph input path end to end.
+    Demoted from birth: the record-walk + mapInPandas + JSON shapes are
+    green via warc_roundtrip / events_json_props; WAT specifics
+    (envelope navigation, warcinfo skip, malformed-JSON skip) and the
+    host_link_edges/host_degrees aggregates are pinned by
+    tests/test_warc.py + tests/test_linkgraph.py."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    from ..functions.urls import host_of
+    from ..sources.warc import build_wat_record, parse_wat
+
+    schema = T.StructType(
+        [
+            T.StructField("title", T.StringType(), True),
+            T.StructField(
+                "links",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("url", T.StringType(), True),
+                            T.StructField("text", T.StringType(), True),
+                        ]
+                    )
+                ),
+                True,
+            ),
+        ]
+    )
+    ts = _dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    @F.pandas_udf(schema)
+    def roundtrip(doc_id: pd.Series) -> pd.DataFrame:
+        rows = []
+        for d in doc_id:
+            d = int(d)
+            url = f"https://corpus.example/doc/{d}"
+            links = [
+                (f"https://host{d % 7}.example/p/{d}", f"ref {d}"),
+                (f"https://host{(d * 3 + 2) % 7}.example/q/{d}", "next"),
+            ]
+            rec = build_wat_record(url, ts, f"Doc {d}", links)
+            parsed = next(parse_wat(rec), None)
+            rows.append(
+                dict(
+                    title=parsed["title"] if parsed else None,
+                    links=parsed["links"] if parsed else [],
+                )
+            )
+        return pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents")
+    parsed = docs.select(
+        "doc_id", roundtrip(F.col("doc_id")).alias("w")
+    ).select(
+        "doc_id",
+        F.col("w.title").alias("title"),
+        F.posexplode_outer(F.col("w.links")).alias("link_idx", "link"),
+    )
+    return parsed.select(
+        "doc_id",
+        "title",
+        F.col("link_idx").cast("int").alias("link_idx"),
+        F.col("link.url").alias("link_url"),
+        F.col("link.text").alias("anchor"),
+        host_of(F.col("link.url")).alias("dst_host"),
+    )
+
+
+@query(
     "charset_extract",
     """
     SELECT doc_id,

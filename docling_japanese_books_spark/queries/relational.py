@@ -205,27 +205,8 @@ def orders_rank_in_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "events_running_sum",
-    """
-    SELECT event_id, user_id,
-           round(sum(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-             AS running_value
-    FROM events
-    """,
-)
-def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate per user (sessionization building block)."""
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return t(spark, sf_dir, "events").select(
-        "event_id", "user_id", r6(F.sum("value").over(w)).alias("running_value")
-    )
+# events_running_sum retired in round 7 (plain per-user cumulative window;
+# events_sessionization exercises the identical frame plus lag).
 
 
 @query(

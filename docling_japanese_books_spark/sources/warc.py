@@ -30,6 +30,7 @@ from __future__ import annotations
 import datetime as dt
 import gzip
 import io
+import json
 import re
 from typing import Iterator, List, Optional, Tuple
 
@@ -299,6 +300,129 @@ def parse_wet(payload: bytes) -> Iterator[dict]:
 
 
 # ---------------------------------------------------------------------------
+# WAT (Common Crawl metadata sidecar: WARC with `metadata` + JSON records)
+# ---------------------------------------------------------------------------
+
+
+def build_wat_record(
+    url: str,
+    ts: dt.datetime,
+    title: Optional[str],
+    links: List[Tuple[str, str]],
+) -> bytes:
+    """One WAT ``metadata`` record: the IIPC web-archive-metadata JSON
+    envelope for one crawled page (the Common Crawl *.warc.wat layout).
+    ``links`` are (href, anchor-text) pairs from the page's <a> tags —
+    the payload the link-graph operator consumes."""
+    head: dict = {}
+    if title is not None:
+        head["Title"] = title
+    envelope = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": url,
+                "WARC-Date": ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": head,
+                        "Links": [
+                            {"path": "A@/href", "url": u, "text": x}
+                            for u, x in links
+                        ],
+                    }
+                }
+            },
+        },
+        "Container": {"Filename": "crawl.warc.gz"},
+    }
+    body = json.dumps(envelope, ensure_ascii=False, sort_keys=True).encode(
+        "utf-8"
+    )
+    headers = (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: metadata" + CRLF
+        + f"WARC-Target-URI: {url}".encode("ascii") + CRLF
+        + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}".encode("ascii") + CRLF
+        + b"Content-Type: application/json" + CRLF
+        + f"Content-Length: {len(body)}".encode("ascii") + CRLF
+        + CRLF
+    )
+    return headers + body + CRLF + CRLF
+
+
+def build_wat(
+    records: List[Tuple[str, dt.datetime, Optional[str], List[Tuple[str, str]]]]
+) -> bytes:
+    """Standards-shaped WAT file: leading ``warcinfo`` + metadata records
+    (real Common Crawl WATs also carry warcinfo; the parser skips it)."""
+    ts0 = records[0][1] if records else dt.datetime(2024, 1, 1)
+    return _build_warcinfo(ts0) + b"".join(
+        build_wat_record(u, ts, ti, ls) for u, ts, ti, ls in records
+    )
+
+
+def build_wat_gz(
+    records: List[Tuple[str, dt.datetime, Optional[str], List[Tuple[str, str]]]]
+) -> bytes:
+    """One gzip member per record, like the WARC layout."""
+    ts0 = records[0][1] if records else dt.datetime(2024, 1, 1)
+    return gzip.compress(_build_warcinfo(ts0)) + b"".join(
+        gzip.compress(build_wat_record(u, ts, ti, ls))
+        for u, ts, ti, ls in records
+    )
+
+
+def parse_wat(payload: bytes) -> Iterator[dict]:
+    """WAT bytes (plain or gzip) -> one dict per parseable ``metadata``
+    record: ``(url, warc_ts, title, links)`` with ``links`` a list of
+    ``{"url", "text"}`` dicts in page order. Records whose JSON is
+    malformed or not a JSON object are skipped (the caller's error
+    metric, same contract as the WARC/WET parsers); pages with no
+    HTML-Metadata yield an empty link list — absence of links is data,
+    not an error."""
+    for headers, content in _iter_warc_records(payload):
+        if headers.get(b"warc-type") != b"metadata":
+            continue
+        try:
+            url = headers[b"warc-target-uri"].decode("utf-8")
+            ts = dt.datetime.strptime(
+                headers[b"warc-date"].decode("ascii")[:19], "%Y-%m-%dT%H:%M:%S"
+            )
+            doc = json.loads(content.decode("utf-8"))
+        except (KeyError, ValueError, UnicodeDecodeError):
+            continue
+        if not isinstance(doc, dict):
+            continue
+        html_meta = (
+            doc.get("Envelope", {})
+            .get("Payload-Metadata", {})
+            .get("HTTP-Response-Metadata", {})
+            .get("HTML-Metadata", {})
+        )
+        if not isinstance(html_meta, dict):
+            html_meta = {}
+        head = html_meta.get("Head", {})
+        title = head.get("Title") if isinstance(head, dict) else None
+        links = []
+        raw_links = html_meta.get("Links", [])
+        if isinstance(raw_links, list):
+            for entry in raw_links:
+                if isinstance(entry, dict) and isinstance(entry.get("url"), str):
+                    links.append(
+                        {"url": entry["url"], "text": entry.get("text") or ""}
+                    )
+        yield dict(
+            url=url,
+            warc_ts=ts,
+            title=title if isinstance(title, str) else None,
+            links=links,
+        )
+
+
+# ---------------------------------------------------------------------------
 # Spark operator
 # ---------------------------------------------------------------------------
 
@@ -330,6 +454,50 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
             )
 
     return raw.mapInPandas(op, WARC_PAGES_SCHEMA)
+
+
+WAT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField(
+            "links",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("url", T.StringType(), True),
+                        T.StructField("text", T.StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def read_wat(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WAT archive glob -> page-metadata DataFrame ``(url, warc_ts, title,
+    links array<struct<url,text>>)``: binaryFile scan + one mapInPandas
+    parse stage, executor-side — the same one-row-per-archive parallelism
+    contract as ``read_warc``. Feed ``links`` to
+    ``operators.linkgraph.host_link_edges`` for the crawl link graph."""
+    raw = spark.read.format("binaryFile").load(path_glob).select("content")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: List[dict] = []
+            for payload in pdf["content"]:
+                try:
+                    rows.extend(parse_wat(bytes(payload)))
+                except Exception:
+                    continue  # unreadable archive: contributes no pages
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "title", "links"]
+            )
+
+    return raw.mapInPandas(op, WAT_SCHEMA)
 
 
 def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:

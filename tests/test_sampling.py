@@ -120,3 +120,84 @@ def test_int8_quantization_roundtrip(spark):
     assert list(rows[2].q) == [0, 0, 0, 0] and rows[2].mse == 0.0
     # sign quantization
     assert list(rows[1].b) == [1, 0, 1, 0]
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing (operators/mixing.py)
+# ---------------------------------------------------------------------------
+
+
+def _domains_df(spark, sizes):
+    rows = []
+    i = 0
+    for dom, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, dom))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, domain string")
+
+
+def test_temperature_plan_flattens_toward_small_domains(spark):
+    from docling_japanese_books_spark.operators.mixing import (
+        temperature_mix_plan,
+    )
+
+    df = _domains_df(spark, {"big.example": 400, "small.example": 25})
+    plan = {
+        r.domain: r
+        for r in temperature_mix_plan(
+            df, "domain", alpha=0.5, target_total=100
+        ).collect()
+    }
+    big, small = plan["big.example"], plan["small.example"]
+    # sqrt smoothing: weights 20/25 and 5/25
+    assert abs(big.weight - 0.8) < 1e-12 and abs(small.weight - 0.2) < 1e-12
+    # natural shares are 400/425 vs 25/425: the small domain's share rose
+    assert small.weight > 25 / 425 and big.weight < 400 / 425
+    assert abs(big.keep_prob - 100 * 0.8 / 400) < 1e-12
+    assert abs(small.keep_prob - 100 * 0.2 / 25) < 1e-12
+
+
+def test_temperature_plan_saturates_at_one(spark):
+    from docling_japanese_books_spark.operators.mixing import (
+        temperature_mix_plan,
+    )
+
+    # a tiny domain whose boosted share exceeds its size: capped at 1.0
+    df = _domains_df(spark, {"big.example": 900, "tiny.example": 4})
+    plan = {
+        r.domain: r.keep_prob
+        for r in temperature_mix_plan(
+            df, "domain", alpha=0.5, target_total=800
+        ).collect()
+    }
+    assert plan["tiny.example"] == 1.0
+    assert plan["big.example"] < 1.0
+
+
+def test_temperature_mix_deterministic_and_alpha_one_is_natural(spark):
+    from docling_japanese_books_spark.operators.mixing import (
+        temperature_mix,
+        temperature_mix_plan,
+    )
+
+    df = _domains_df(spark, {"a.example": 300, "b.example": 100})
+    kept1 = sorted(
+        r.doc_id for r in temperature_mix(df, "domain", 0.5, 200).collect()
+    )
+    kept2 = sorted(
+        r.doc_id
+        for r in temperature_mix(
+            df.repartition(7), "domain", 0.5, 200
+        ).collect()
+    )
+    assert kept1 == kept2 and len(kept1) > 0  # id-deterministic, layout-free
+    # alpha=1 keeps the natural distribution: keep_prob identical everywhere
+    plan = {
+        r.domain: r.keep_prob
+        for r in temperature_mix_plan(
+            df, "domain", alpha=1.0, target_total=200
+        ).collect()
+    }
+    assert abs(plan["a.example"] - plan["b.example"]) < 1e-12
+    assert abs(plan["a.example"] - 0.5) < 1e-12  # 200 of 400

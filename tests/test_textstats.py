@@ -236,3 +236,62 @@ def test_lm_quality_arrow_long_doc_wall_time(spark):
     ]
     expected = -sum(logps) / len(logps)
     assert abs(got - expected) < 1e-9
+
+
+def test_perplexity_buckets_exact_thirds_and_boundary_ties(spark):
+    from docling_japanese_books_spark.operators.lm_quality import (
+        perplexity_buckets,
+    )
+
+    # 9 distinct scores -> exact thirds (CDF hits 1/3 and 2/3 on the nose:
+    # the <=-threshold rule must put the boundary score in the LOWER bucket)
+    rows = [(i, float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, lm_score double")
+    got = {r.doc_id: r.bucket for r in perplexity_buckets(df).collect()}
+    assert [got[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+
+
+def test_perplexity_buckets_ties_share_a_bucket(spark):
+    from docling_japanese_books_spark.operators.lm_quality import (
+        perplexity_buckets,
+    )
+
+    # 6 rows of one score + 3 of another: the tied mass crosses both
+    # boundaries so everything at that score lands in ONE bucket (head)
+    rows = [(i, 1.0) for i in range(6)] + [(i, 2.0) for i in range(6, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, lm_score double")
+    got = {r.doc_id: r.bucket for r in perplexity_buckets(df).collect()}
+    assert all(got[i] == "head" for i in range(6))
+    assert all(got[i] == "tail" for i in range(6, 9))
+
+
+def test_perplexity_buckets_degenerate_single_value(spark):
+    from docling_japanese_books_spark.operators.lm_quality import (
+        perplexity_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 3.5) for i in range(5)], "doc_id long, lm_score double"
+    )
+    got = {r.bucket for r in perplexity_buckets(df).collect()}
+    assert got == {"head"}  # one value: CDF jumps to 1.0, all head
+
+
+def test_perplexity_buckets_custom_boundaries_and_rounding(spark):
+    from docling_japanese_books_spark.operators.lm_quality import (
+        perplexity_buckets,
+    )
+
+    rows = [(i, i / 10.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lm_score double")
+    out = perplexity_buckets(
+        df, boundaries=(0.5,), labels=("keep", "drop"), precision=1
+    )
+    got = {r.doc_id: r.bucket for r in out.collect()}
+    assert [got[i] for i in range(10)] == ["keep"] * 5 + ["drop"] * 5
+    import pytest
+
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, boundaries=(0.5,), labels=("only",))

@@ -254,3 +254,109 @@ def test_read_wet_spark_operator(spark, tmp_path):
     assert len(rows) == 12
     assert rows["https://w1.example/2"].text == "extracted text 1-2"
     assert rows["https://w1.example/2"].html == bytearray(b"")
+
+
+# ---------------------------------------------------------------------------
+# WAT (metadata sidecar)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_wat_plain_and_gzip():
+    from docling_japanese_books_spark.sources.warc import (
+        build_wat,
+        build_wat_gz,
+        parse_wat,
+    )
+
+    recs = [
+        (
+            "https://a.example/1",
+            TS,
+            "Page One",
+            [("https://b.example/x", "go"), ("/relative", "rel")],
+        ),
+        ("https://c.example/2", TS, None, []),
+    ]
+    for blob in (build_wat(recs), build_wat_gz(recs)):
+        got = list(parse_wat(blob))
+        assert [g["url"] for g in got] == [u for u, _, _, _ in recs]
+        assert got[0]["title"] == "Page One"
+        assert got[0]["links"] == [
+            {"url": "https://b.example/x", "text": "go"},
+            {"url": "/relative", "text": "rel"},
+        ]
+        assert got[1]["title"] is None and got[1]["links"] == []
+        assert all(g["warc_ts"] == TS for g in got)
+
+
+def test_parse_wat_skips_warcinfo_malformed_json_and_other_types():
+    from docling_japanese_books_spark.sources.warc import (
+        build_wat,
+        build_wat_record,
+        build_wet_record,
+        parse_wat,
+    )
+
+    good = build_wat(
+        [("https://a.example/1", TS, "T", [("https://b.example", "b")])]
+    )
+    # corrupt one record's JSON in place (same byte count: {"..." -> x"...")
+    bad = build_wat_record("https://a.example/bad", TS, "B", [])
+    bad = bad.replace(b'{"Container"', b'x"Container"', 1)
+    # a WET conversion record interleaved: not metadata, skipped
+    other = build_wet_record("https://a.example/wet", TS, "text")
+    got = list(parse_wat(good + bad + other))
+    assert [g["url"] for g in got] == ["https://a.example/1"]
+
+
+def test_parse_wat_tolerates_missing_envelope_sections():
+    import json as _json
+
+    from docling_japanese_books_spark.sources.warc import (
+        build_wat_record,
+        parse_wat,
+    )
+
+    # strip Payload-Metadata entirely: a page with no HTML-Metadata has no
+    # links — that's data (an empty list), not a parse error
+    rec = build_wat_record("https://a.example/1", TS, "T", [("https://b", "x")])
+    head, _, body = rec.partition(b"\r\n\r\n")
+    doc = _json.loads(body[: body.rfind(b"}") + 1])
+    del doc["Envelope"]["Payload-Metadata"]
+    new_body = _json.dumps(doc, sort_keys=True).encode()
+    rec = (
+        head.replace(
+            f"Content-Length: {len(body) - 4}".encode(),
+            f"Content-Length: {len(new_body)}".encode(),
+        )
+        + b"\r\n\r\n"
+        + new_body
+        + b"\r\n\r\n"
+    )
+    got = list(parse_wat(rec))
+    assert len(got) == 1
+    assert got[0]["title"] is None and got[0]["links"] == []
+
+
+def test_read_wat_spark_operator(spark, tmp_path):
+    from docling_japanese_books_spark.sources.warc import build_wat_gz, read_wat
+
+    for part in range(2):
+        recs = [
+            (
+                f"https://w{part}.example/{i}",
+                TS,
+                f"Title {part}-{i}",
+                [(f"https://t{i}.example/p", f"anchor {i}")],
+            )
+            for i in range(3)
+        ]
+        (tmp_path / f"part{part}.warc.wat.gz").write_bytes(build_wat_gz(recs))
+    df = read_wat(spark, str(tmp_path / "*.warc.wat.gz"))
+    rows = {r.url: r for r in df.collect()}
+    assert len(rows) == 6
+    r = rows["https://w1.example/2"]
+    assert r.title == "Title 1-2"
+    assert [(l.url, l.text) for l in r.links] == [
+        ("https://t2.example/p", "anchor 2")
+    ]
