@@ -141,6 +141,16 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # via orders_rollup; alpha/saturation semantics pinned by
     # tests/test_sampling.py — demoted from birth
     "doc_domain_mixture": ("doc_stratified_sample", "orders_rollup"),
+    # host PageRank: each power iteration is the same contribution-join +
+    # grouped-sum shape the in-window join/agg rows keep green; dangling
+    # and convergence semantics pinned by tests/test_linkgraph.py —
+    # demoted from birth
+    "wat_host_pagerank": ("q3_shipping_priority", "corpus_stats"),
+    # Gopher rule battery: map-only regexp algebra, the shape the
+    # in-window doc_lang_quality / doc_token_stats rows keep green;
+    # per-rule boundaries pinned by tests/test_textstats.py — demoted
+    # from birth
+    "doc_gopher_rules": ("doc_lang_quality", "doc_token_stats"),
     # round-7 swap: semdedup_verdicts promoted in (embedding-level dedup —
     # new unique coverage); exact-quantile agg is a plain single-group
     # aggregate whose grouped-agg shape rides the rollup and mean/std rows

@@ -57,6 +57,88 @@ def host_link_edges(
     )
 
 
+def host_pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over a ``host_link_edges`` edge list — the
+    host-rank signal Common Crawl publishes with its web graph, used for
+    crawl-frontier ordering and as a domain-quality prior in webtext
+    curation.
+
+    (host, rank) after ``iterations`` synchronous power-iteration steps
+    from the uniform vector, link mass split proportionally to edge
+    weight (``n_links``), dangling-host mass redistributed uniformly —
+    the standard formulation:
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u) * w(uv)/out(u) + dang/N)
+
+    Spark-first scale shape: each iteration is ONE shuffle (the
+    contribution groupBy on dst) plus two scalar aggregates; the rank
+    vector is |hosts| rows (~1e8 for the full web — a few GB, fine to
+    shuffle, never collected); edges are re-read per iteration, so
+    callers should persist the (already aggregated) edge list before
+    iterating. Fixed iteration count keeps the operator deterministic
+    and oracle-expressible; production crawl ranking runs a fixed small
+    number of iterations anyway (convergence beyond ~10 moves ordering
+    little).
+    """
+    out_w = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.sum("n_links").cast("double").alias("_out")
+    )
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count("*").cast("double").alias("_n"))
+    # ranks carries _out (null for dangling hosts) so the dangling-mass
+    # aggregate and the contribution join never re-join the out table
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_nodes))
+        .join(out_w, "host", "left")
+        .select("host", (F.lit(1.0) / F.col("_n")).alias("rank"), "_out")
+    )
+    for _ in range(iterations):
+        dang = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_out").isNull(), F.col("rank"))), F.lit(0.0)
+            ).alias("_dang")
+        )
+        contribs = (
+            edges.join(
+                ranks.filter(F.col("_out").isNotNull()),
+                edges["src_host"] == ranks["host"],
+            )
+            .groupBy(F.col("dst_host").alias("host"))
+            .agg(
+                F.sum(
+                    F.col("rank") * F.col("n_links").cast("double") / F.col("_out")
+                ).alias("_c")
+            )
+        )
+        ranks = (
+            ranks.drop("rank")
+            .join(contribs, "host", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "host",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dang") / F.col("_n")
+                    )
+                ).alias("rank"),
+                "_out",
+            )
+        )
+    return ranks.select("host", "rank")
+
+
 def host_degrees(edges: DataFrame) -> DataFrame:
     """Per-host degree summary from a ``host_link_edges`` output:
     (host, in_degree, out_degree, in_hosts, out_hosts), zeros where a

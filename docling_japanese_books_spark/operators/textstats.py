@@ -165,3 +165,97 @@ def top_word_fraction(col: Column) -> Column:
     O(distinct x tokens) *interpreted* per row: a long adversarial document
     with many distinct tokens made a single projection quadratic-ish."""
     return _top_word_fraction_udf(col)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, App. A1.1 — the published
+# heuristic filter set reused by MassiveText, RefinedWeb, and FineWeb)
+# ---------------------------------------------------------------------------
+
+# Gopher's stop-word presence list (distinct from the lang-id sets above:
+# the rule asks for >=2 of THESE eight words, per the paper)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(col: Column) -> Column:
+    """The Gopher document-quality rule set as one JVM-side struct —
+    measures plus per-rule booleans plus the overall keep flag:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - '#' per word <= 0.1 and '...' per word <= 0.1 (symbol ratio)
+    - <= 90% of lines start with a bullet, <= 30% end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - at least 2 of the 8 Gopher stop words appear
+
+    Everything is regexp/length algebra (word-boundary and multiline
+    anchors behave identically in Java regex and RE2, so the whole
+    struct is oracle-checkable); no UDF, no explode — at 100 TB this is
+    a map-only codegen'd pass."""
+    words = token_count(col)
+    w = F.greatest(words, F.lit(1)).cast("double")
+    # total non-whitespace chars / words == mean whitespace-token length
+    mean_wl = (
+        F.length(F.regexp_replace(col, r"\s+", "")).cast("double") / w
+    )
+    hash_ratio = F.regexp_count(col, F.lit("#")).cast("double") / w
+    ellipsis_ratio = (
+        F.regexp_count(col, F.lit(r"\.\.\.")).cast("double") / w
+    )
+    lines = (F.regexp_count(col, F.lit("\n")) + 1).cast("double")
+    bullet_frac = (
+        F.regexp_count(col, F.lit(r"(?m)^\s*[-*•]")).cast("double") / lines
+    )
+    ellipsis_line_frac = (
+        F.regexp_count(col, F.lit(r"(?m)\.\.\.$")).cast("double") / lines
+    )
+    alpha_word_frac = (
+        F.regexp_count(col, F.lit(r"(?:^|\s)[^\s]*[A-Za-z][^\s]*")).cast(
+            "double"
+        )
+        / w
+    )
+    stop_hits = sum(
+        (
+            F.when(
+                F.regexp_count(F.lower(col), F.lit(rf"\b{word}\b")) > 0, 1
+            ).otherwise(0)
+            for word in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    r_words = (words >= 50) & (words <= 100_000)
+    r_mean_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    r_symbols = (hash_ratio <= 0.1) & (ellipsis_ratio <= 0.1)
+    r_bullets = bullet_frac <= 0.9
+    r_ellipsis = ellipsis_line_frac <= 0.3
+    r_alpha = alpha_word_frac >= 0.8
+    r_stop = stop_hits >= 2
+    return F.struct(
+        words.alias("words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(alpha_word_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        r_words.alias("rule_word_count"),
+        r_mean_wl.alias("rule_mean_word_len"),
+        r_symbols.alias("rule_symbol_ratio"),
+        r_bullets.alias("rule_bullets"),
+        r_ellipsis.alias("rule_ellipsis_lines"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (
+            r_words
+            & r_mean_wl
+            & r_symbols
+            & r_bullets
+            & r_ellipsis
+            & r_alpha
+            & r_stop
+        ).alias("passes"),
+    )
+
+
+def gopher_filter(df, text_col: str = "text"):
+    """Keep only documents passing every Gopher rule."""
+    return df.filter(gopher_rules(F.col(text_col)).getField("passes"))

@@ -339,6 +339,101 @@ def doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_gopher_rules",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS words,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nonws,
+             len(regexp_extract_all(text, '#')) AS hashes,
+             len(regexp_extract_all(text, '\.\.\.')) AS ellipses,
+             len(regexp_extract_all(text, '\n')) + 1 AS n_lines,
+             len(regexp_extract_all(text, '(?m)^\s*[-*•]')) AS bullets,
+             len(regexp_extract_all(text, '(?m)\.\.\.$')) AS ell_lines,
+             len(regexp_extract_all(text, '(?:^|\s)[^\s]*[A-Za-z][^\s]*'))
+               AS alpha_words,
+             (CASE WHEN len(regexp_extract_all(lower(text), '\bthe\b')) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN len(regexp_extract_all(lower(text), '\bbe\b')) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN len(regexp_extract_all(lower(text), '\bto\b')) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN len(regexp_extract_all(lower(text), '\bof\b')) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN len(regexp_extract_all(lower(text), '\band\b')) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN len(regexp_extract_all(lower(text), '\bthat\b')) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN len(regexp_extract_all(lower(text), '\bhave\b')) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN len(regexp_extract_all(lower(text), '\bwith\b')) > 0 THEN 1 ELSE 0 END)
+               AS stop_hits
+      FROM documents),
+    m AS (
+      SELECT doc_id, words, stop_hits,
+             nonws * 1.0 / greatest(words, 1) AS mwl,
+             hashes * 1.0 / greatest(words, 1) AS hr,
+             ellipses * 1.0 / greatest(words, 1) AS er,
+             bullets * 1.0 / n_lines AS bf,
+             ell_lines * 1.0 / n_lines AS elf,
+             alpha_words * 1.0 / greatest(words, 1) AS awf
+      FROM base)
+    SELECT doc_id,
+           CAST(words AS INT) AS words,
+           round(mwl, 6) AS mean_word_len,
+           round(bf, 6) AS bullet_frac,
+           round(awf, 6) AS alpha_word_frac,
+           CAST(stop_hits AS INT) AS stop_hits,
+           (words >= 50 AND words <= 100000) AS rule_word_count,
+           (mwl >= 3.0 AND mwl <= 10.0) AS rule_mean_word_len,
+           (hr <= 0.1 AND er <= 0.1) AS rule_symbol_ratio,
+           (bf <= 0.9) AS rule_bullets,
+           (elf <= 0.3) AS rule_ellipsis_lines,
+           (awf >= 0.8) AS rule_alpha_words,
+           (stop_hits >= 2) AS rule_stopwords,
+           (words >= 50 AND words <= 100000
+            AND mwl >= 3.0 AND mwl <= 10.0
+            AND hr <= 0.1 AND er <= 0.1
+            AND bf <= 0.9 AND elf <= 0.3
+            AND awf >= 0.8 AND stop_hits >= 2) AS passes
+    FROM m
+    """,
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher heuristic quality-rule set (operators/textstats.py
+    ``gopher_rules`` — Rae et al. 2021 App. A1.1, the filter battery
+    MassiveText/RefinedWeb/FineWeb standardized on): word-count bounds,
+    mean word length, symbol ratios, bullet/ellipsis line fractions,
+    alphabetic-word fraction, stop-word presence — measures, per-rule
+    verdicts, and the overall keep flag, all as one map-only codegen'd
+    regexp pass (no UDF). The oracle replays every rule in DuckDB (the
+    word-boundary and multiline anchors mean the same thing in Java
+    regex and RE2). Demoted from birth: the regexp-algebra shape is
+    green via the in-window doc_lang_quality / doc_token_stats rows;
+    per-rule boundary cases are pinned by tests/test_textstats.py."""
+    from ..operators.textstats import gopher_rules
+
+    docs = t(spark, sf_dir, "documents")
+    g = gopher_rules(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[
+            g.getField(f).alias(f)
+            for f in (
+                "words",
+                "mean_word_len",
+                "bullet_frac",
+                "alpha_word_frac",
+                "stop_hits",
+                "rule_word_count",
+                "rule_mean_word_len",
+                "rule_symbol_ratio",
+                "rule_bullets",
+                "rule_ellipsis_lines",
+                "rule_alpha_words",
+                "rule_stopwords",
+                "passes",
+            )
+        ],
+    )
+
+
+@query(
     "doc_quality_score",
     r"""
     WITH base AS (

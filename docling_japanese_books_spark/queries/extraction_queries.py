@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 
 from ..extraction.html import extract_pages, extract_udf
 from ..extraction.pages import generate_pages
-from .relational import query, t
+from .relational import query, r6, t
 
 # boilerplate template around the payload — nav/ads/footer must be stripped
 _PRE = (
@@ -302,6 +302,104 @@ def wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("link.url").alias("link_url"),
         F.col("link.text").alias("anchor"),
         host_of(F.col("link.url")).alias("dst_host"),
+    )
+
+
+@query(
+    "wat_host_pagerank",
+    """
+    WITH raw AS (
+      SELECT 'host' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS src,
+             'host' || CAST((doc_id * 3 + 2) % 7 AS VARCHAR) || '.example' AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'host' || CAST(doc_id % 7 AS VARCHAR) || '.example',
+             CASE WHEN doc_id % 13 = 0 THEN 'sink.example'
+                  ELSE 'host' || CAST((doc_id * 5 + 1) % 7 AS VARCHAR)
+                       || '.example' END
+      FROM documents),
+    edges AS (
+      SELECT src, dst, count(*) AS n FROM raw GROUP BY src, dst),
+    outw AS (
+      SELECT src, CAST(sum(n) AS DOUBLE) AS o FROM edges GROUP BY src),
+    nodes AS (
+      SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+    d1 AS (SELECT coalesce(sum(r.r), 0.0) AS dang
+           FROM r0 r LEFT JOIN outw o ON r.host = o.src WHERE o.src IS NULL),
+    c1 AS (SELECT e.dst AS host, sum(r.r * e.n / o.o) AS c
+           FROM edges e JOIN outw o ON e.src = o.src
+                        JOIN r0 r ON r.host = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT n.host,
+                  (1.0 - 0.85) / (SELECT n FROM nn)
+                  + 0.85 * (coalesce(c.c, 0.0)
+                            + (SELECT dang FROM d1) / (SELECT n FROM nn)) AS r
+           FROM nodes n LEFT JOIN c1 c ON n.host = c.host),
+    d2 AS (SELECT coalesce(sum(r.r), 0.0) AS dang
+           FROM r1 r LEFT JOIN outw o ON r.host = o.src WHERE o.src IS NULL),
+    c2 AS (SELECT e.dst AS host, sum(r.r * e.n / o.o) AS c
+           FROM edges e JOIN outw o ON e.src = o.src
+                        JOIN r1 r ON r.host = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT n.host,
+                  (1.0 - 0.85) / (SELECT n FROM nn)
+                  + 0.85 * (coalesce(c.c, 0.0)
+                            + (SELECT dang FROM d2) / (SELECT n FROM nn)) AS r
+           FROM nodes n LEFT JOIN c2 c ON n.host = c.host),
+    d3 AS (SELECT coalesce(sum(r.r), 0.0) AS dang
+           FROM r2 r LEFT JOIN outw o ON r.host = o.src WHERE o.src IS NULL),
+    c3 AS (SELECT e.dst AS host, sum(r.r * e.n / o.o) AS c
+           FROM edges e JOIN outw o ON e.src = o.src
+                        JOIN r2 r ON r.host = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT n.host,
+                  (1.0 - 0.85) / (SELECT n FROM nn)
+                  + 0.85 * (coalesce(c.c, 0.0)
+                            + (SELECT dang FROM d3) / (SELECT n FROM nn)) AS r
+           FROM nodes n LEFT JOIN c3 c ON n.host = c.host)
+    SELECT host, round(r, 6) AS pr FROM r3
+    """,
+)
+def wat_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host-level PageRank (operators/linkgraph.py
+    ``host_pagerank``) — the crawl-frontier / domain-prior rank Common
+    Crawl publishes with its web graph — over a deterministic 8-host
+    graph derived from the documents table (7 interlinked hosts plus a
+    dangling sink that never links out, so the dangling-mass
+    redistribution is actually exercised). Three synchronous power
+    iterations from the uniform vector, damping 0.85; the oracle replays
+    all three iterations as chained CTEs, including the per-iteration
+    dangling aggregate. The SQL spells (1.0 - 0.85), not 0.15: the two
+    constants differ in the last ulp and the hash compare would see it.
+    Demoted from birth: the contribution join + grouped-sum shape is
+    green via the in-window q3_shipping_priority / corpus_stats rows;
+    convergence and dangling semantics are pinned by
+    tests/test_linkgraph.py."""
+    docs = t(spark, sf_dir, "documents")
+    host = lambda expr: F.concat(  # noqa: E731
+        F.lit("host"), expr.cast("string"), F.lit(".example")
+    )
+    e1 = docs.select(
+        host(F.col("doc_id") % 7).alias("src_host"),
+        host((F.col("doc_id") * 3 + 2) % 7).alias("dst_host"),
+    )
+    e2 = docs.select(
+        host(F.col("doc_id") % 7).alias("src_host"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("sink.example"))
+        .otherwise(host((F.col("doc_id") * 5 + 1) % 7))
+        .alias("dst_host"),
+    )
+    edges = (
+        e1.union(e2)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+    from ..operators.linkgraph import host_pagerank
+
+    return host_pagerank(edges, iterations=3, damping=0.85).select(
+        "host", r6(F.col("rank")).alias("pr")
     )
 
 

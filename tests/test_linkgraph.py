@@ -82,3 +82,59 @@ def test_wat_to_link_graph_end_to_end(spark, tmp_path):
     assert len(edges) == 6
     assert all(n == 2 for n in edges.values())
     assert edges[("src0.example", "dst0.example")] == 2
+
+
+# ---------------------------------------------------------------------------
+# host PageRank
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, triples):
+    return spark.createDataFrame(
+        triples, "src_host string, dst_host string, n_links long"
+    )
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    from docling_japanese_books_spark.operators.linkgraph import host_pagerank
+
+    # a 4-cycle: perfectly symmetric, every iteration keeps uniform 1/4
+    e = _edges(
+        spark, [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("d", "a", 1)]
+    )
+    got = {r.host: r.rank for r in host_pagerank(e, iterations=5).collect()}
+    assert all(abs(v - 0.25) < 1e-12 for v in got.values())
+
+
+def test_pagerank_mass_conserved_with_dangling_sink(spark):
+    from docling_japanese_books_spark.operators.linkgraph import host_pagerank
+
+    # 'sink' has no outlinks: its mass must be redistributed, total mass 1
+    e = _edges(
+        spark,
+        [("a", "sink", 3), ("b", "a", 1), ("a", "b", 1), ("b", "sink", 1)],
+    )
+    got = {r.host: r.rank for r in host_pagerank(e, iterations=4).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the heavily-linked sink outranks its feeders
+    assert got["sink"] > got["a"] > 0 and got["sink"] > got["b"]
+
+
+def test_pagerank_weighted_edges_split_proportionally(spark):
+    from docling_japanese_books_spark.operators.linkgraph import host_pagerank
+
+    # hub splits mass 3:1 between x and y; x must outrank y after 1 iter
+    e = _edges(
+        spark,
+        [
+            ("hub", "x", 3),
+            ("hub", "y", 1),
+            ("x", "hub", 1),
+            ("y", "hub", 1),
+        ],
+    )
+    got = {r.host: r.rank for r in host_pagerank(e, iterations=1).collect()}
+    assert got["x"] > got["y"]
+    # exact one-iteration values: hub's 1/3 splits (3/4, 1/4)
+    assert abs(got["x"] - ((1 - 0.85) / 3 + 0.85 * (1 / 3) * 0.75)) < 1e-12
+    assert abs(got["y"] - ((1 - 0.85) / 3 + 0.85 * (1 / 3) * 0.25)) < 1e-12

@@ -295,3 +295,67 @@ def test_perplexity_buckets_custom_boundaries_and_rounding(spark):
 
     with pytest.raises(ValueError):
         perplexity_buckets(df, boundaries=(0.5,), labels=("only",))
+
+
+def test_gopher_rules_clean_document_passes(spark):
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.operators.textstats import gopher_rules
+
+    clean = " ".join(
+        ["the quick brown fox jumps over that lazy dog with style and"] * 6
+    )  # 12 words x 6 = 72, all alphabetic, plenty of stop words
+    df = spark.createDataFrame([(clean,)], "text string")
+    g = df.select(gopher_rules(F.col("text")).alias("g")).collect()[0].g
+    assert g.passes and g.words == 72 and g.stop_hits >= 4
+    assert 3.0 <= g.mean_word_len <= 10.0
+
+
+def test_gopher_rules_individual_failures(spark):
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.operators.textstats import gopher_rules
+
+    filler = "the and of that have with be to " * 8  # 64 words, passes alone
+    cases = {
+        # too short: 10 words
+        "short": ("the and of that have with be to nine ten", "rule_word_count"),
+        # bullets on every line
+        "bullets": (
+            "\n".join("- " + filler for _ in range(5)),
+            "rule_bullets",
+        ),
+        # every line ends with an ellipsis
+        "ellipsis": (
+            "\n".join(filler.strip() + "..." for _ in range(5)),
+            "rule_ellipsis_lines",
+        ),
+        # numeric spew: words without any alphabetic character
+        "numeric": (
+            filler + " ".join(str(n) for n in range(40)),
+            "rule_alpha_words",
+        ),
+        # hash-symbol spam
+        "hashes": (filler + "# " * 30, "rule_symbol_ratio"),
+    }
+    for name, (text, broken_rule) in cases.items():
+        df = spark.createDataFrame([(text,)], "text string")
+        g = df.select(gopher_rules(F.col("text")).alias("g")).collect()[0].g
+        assert not g[broken_rule], f"{name}: expected {broken_rule} to fail"
+        assert not g.passes, name
+
+
+def test_gopher_rules_stopword_rule_needs_two_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.operators.textstats import (
+        gopher_filter,
+        gopher_rules,
+    )
+
+    # 60 words but only ONE distinct Gopher stop word ('the') -> fails
+    text = "the " * 30 + "quick brown foxes jump gracefully onward " * 5
+    df = spark.createDataFrame([(text,)], "text string")
+    g = df.select(gopher_rules(F.col("text")).alias("g")).collect()[0].g
+    assert g.stop_hits == 1 and not g.rule_stopwords
+    assert gopher_filter(df).count() == 0
