@@ -98,6 +98,7 @@ def cmd_curate(args) -> int:
         extracted,
         min_quality=args.min_quality,
         near_dup_threshold=args.near_dup,
+        gopher=args.gopher,
         model_quality_min=args.model_quality,
         substring_min_len=args.substring_min_len,
         semantic_tau=args.semantic_tau,
@@ -108,6 +109,8 @@ def cmd_curate(args) -> int:
         f"exact_dedup={report.rows_after_exact_dedup} "
         f"near_dedup={report.rows_after_near_dedup}"
     )
+    if report.rows_gopher_pass is not None:
+        line += f" gopher_pass={report.rows_gopher_pass}"
     if report.rows_model_quality_pass is not None:
         line += f" model_pass={report.rows_model_quality_pass}"
     if report.rows_after_semantic_dedup is not None:
@@ -183,6 +186,10 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("-o", "--output", required=True)
     cu.add_argument("--min-quality", type=float, default=0.3)
     cu.add_argument("--near-dup", type=float, default=0.85)
+    cu.add_argument(
+        "--gopher", action="store_true",
+        help="also require every Gopher heuristic rule to pass",
+    )
     cu.add_argument(
         "--model-quality", type=float, default=None,
         help="enable the learned quality gate at this threshold",

@@ -61,6 +61,7 @@ def host_pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Weighted PageRank over a ``host_link_edges`` edge list — the
     host-rank signal Common Crawl publishes with its web graph, used for
@@ -83,6 +84,14 @@ def host_pagerank(
     and oracle-expressible; production crawl ranking runs a fixed small
     number of iterations anyway (convergence beyond ~10 moves ordering
     little).
+
+    ``checkpoint_every = k`` truncates the rank frame's lineage with an
+    eager ``localCheckpoint`` every k iterations: the iterative plan
+    otherwise grows linearly (each round nests the last), and past ~6
+    rounds analysis time dominates. Same caveat as the dedup/semdedup
+    checkpoint modes — localCheckpoint pins executor blocks, so on a
+    preemptible cluster substitute a table write; values are unchanged
+    either way (pinned by test).
     """
     out_w = edges.groupBy(F.col("src_host").alias("host")).agg(
         F.sum("n_links").cast("double").alias("_out")
@@ -100,7 +109,7 @@ def host_pagerank(
         .join(out_w, "host", "left")
         .select("host", (F.lit(1.0) / F.col("_n")).alias("rank"), "_out")
     )
-    for _ in range(iterations):
+    for it in range(iterations):
         dang = ranks.agg(
             F.coalesce(
                 F.sum(F.when(F.col("_out").isNull(), F.col("rank"))), F.lit(0.0)
@@ -136,6 +145,12 @@ def host_pagerank(
                 "_out",
             )
         )
+        if (
+            checkpoint_every
+            and (it + 1) % checkpoint_every == 0
+            and it + 1 < iterations
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("host", "rank")
 
 

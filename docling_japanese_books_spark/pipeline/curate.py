@@ -4,7 +4,8 @@ raw extracted pages into an LLM-training-ready corpus.
     extracted pages
       -> NFKC normalization (X12)
       -> language id + quality scoring (textstats)
-      -> quality gate (+ optional learned-classifier gate, quality_clf)
+      -> quality gate (+ optional Gopher rule battery, + optional
+         learned-classifier gate, quality_clf)
       -> exact dedup (sha256 of normalized text, lowest url wins)
       -> near-dup removal (MinHash LSH, keep lexicographically-first url)
       -> optional semantic dedup (SemDeDup: stub-embedding clusters,
@@ -39,6 +40,7 @@ class CurationReport:
     rows_after_exact_dedup: int
     rows_after_near_dedup: int
     # optional stages (None = stage not enabled)
+    rows_gopher_pass: "int | None" = None
     rows_model_quality_pass: "int | None" = None
     rows_after_semantic_dedup: "int | None" = None
     rows_after_substring_cut: "int | None" = None
@@ -57,6 +59,7 @@ def curate_corpus(
     near_dup_threshold: float = 0.85,
     url_col: str = "url",
     text_col: str = "text",
+    gopher: bool = False,
     model_quality_min: "float | None" = None,
     model_sample_size: int = 200,
     substring_min_len: "int | None" = None,
@@ -78,14 +81,25 @@ def curate_corpus(
         "quality", quality_score(F.col(text_col))
     )
     gate = (F.col("quality") >= min_quality) & (F.length(text_col) >= min_chars)
+    # optional Gopher battery (textstats.gopher_rules): folded into the
+    # same gate stage and the same single head aggregate — still one pass,
+    # zero extra jobs; rows_gopher_pass counts survivors of BOTH gates
+    if gopher:
+        from ..operators.textstats import gopher_rules
+
+        g_pass = gopher_rules(F.col(text_col)).getField("passes")
+        full_gate = gate & g_pass
+    else:
+        full_gate = gate
     scored = scored.persist()
 
     # rows_in + quality survivors in ONE aggregate over the cached stage
     head = scored.agg(
         F.count("*").alias("rows_in"),
         F.coalesce(F.sum(gate.cast("long")), F.lit(0)).alias("rows_quality"),
+        F.coalesce(F.sum(full_gate.cast("long")), F.lit(0)).alias("rows_full"),
     ).collect()[0]
-    gated = scored.filter(gate)
+    gated = scored.filter(full_gate)
 
     # optional learned-quality gate (quality_clf): train self-supervised
     # on a bounded hash-ordered sample of the heuristic survivors (reads
@@ -207,6 +221,7 @@ def curate_corpus(
     report = CurationReport(
         rows_in=int(head.rows_in),
         rows_quality_pass=int(head.rows_quality),
+        rows_gopher_pass=int(head.rows_full) if gopher else None,
         rows_after_exact_dedup=rows_exact,
         rows_after_near_dedup=rows_near,
         rows_model_quality_pass=rows_model,

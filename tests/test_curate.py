@@ -230,3 +230,33 @@ def test_curation_six_stages_single_pass(spark, monkeypatch, tmp_path):
     assert report.substring_path in ("prefilter", "bare")
     assert report.substring_candidate_fraction is not None
     assert calls.value == 20, f"normalize UDF ran {calls.value} times for 20 rows"
+
+
+def test_curation_gopher_gate(spark):
+    """gopher=True folds the Gopher rule battery into the heuristic gate:
+    rows_quality_pass still counts heuristic-only survivors while
+    rows_gopher_pass counts survivors of both, and only the latter flow
+    into dedup."""
+    passing = " ".join(
+        ["the quick brown fox jumps over that lazy dog with style and"] * 6
+    )
+    rows = [
+        (f"https://pass/{i}", passing + f" extra tail words number {i}", "en")
+        for i in range(3)
+    ] + [
+        # GOOD is 27 words: healthy text but under Gopher's 50-word floor
+        (f"https://short/{i}", GOOD + f" tail {i}", "en")
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+
+    _, plain = curate_corpus(df, min_quality=0.0, min_chars=1)
+    assert plain.rows_gopher_pass is None
+    assert plain.rows_quality_pass == 5
+
+    curated, rep = curate_corpus(df, min_quality=0.0, min_chars=1, gopher=True)
+    assert rep.rows_quality_pass == 5  # heuristic-only count unchanged
+    assert rep.rows_gopher_pass == 3
+    # downstream dedup still applies: the three gopher survivors differ
+    # only in their tails, so near-dup collapses them to the min url
+    assert [r.url for r in curated.collect()] == ["https://pass/0"]

@@ -138,3 +138,22 @@ def test_pagerank_weighted_edges_split_proportionally(spark):
     # exact one-iteration values: hub's 1/3 splits (3/4, 1/4)
     assert abs(got["x"] - ((1 - 0.85) / 3 + 0.85 * (1 / 3) * 0.75)) < 1e-12
     assert abs(got["y"] - ((1 - 0.85) / 3 + 0.85 * (1 / 3) * 0.25)) < 1e-12
+
+
+def test_pagerank_checkpoint_mode_matches_plain(spark):
+    from docling_japanese_books_spark.operators.linkgraph import host_pagerank
+
+    e = _edges(
+        spark,
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("a", "sink", 1)],
+    )
+    plain = {
+        r.host: r.rank for r in host_pagerank(e, iterations=6).collect()
+    }
+    ckpt = {
+        r.host: r.rank
+        for r in host_pagerank(e, iterations=6, checkpoint_every=2).collect()
+    }
+    assert plain.keys() == ckpt.keys()
+    for h in plain:
+        assert abs(plain[h] - ckpt[h]) < 1e-15
