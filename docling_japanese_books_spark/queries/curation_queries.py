@@ -1209,6 +1209,28 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_unigram_tokens")
+def doc_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece) tokenization over the corpus
+    (operators/unigram.py, Kudo 2018): vocabulary learned on the
+    documents table itself (one word-count shuffle + bounded collect +
+    driver-side EM/prune loop), then every doc Viterbi-encoded in one
+    Arrow stage — the CJK-correct counterpart to doc_bpe_tokens.
+    Rows-only: the EM loop has no ANSI-SQL twin; the lattice math is
+    pinned by tests/test_unigram.py against a hand-computed
+    forward-backward example."""
+    from ..operators.unigram import encode_corpus_unigram, train_unigram
+
+    docs = t(spark, sf_dir, "documents")
+    model = train_unigram(docs, vocab_size=400, max_words=20_000, em_iters=2)
+    out = encode_corpus_unigram(docs, model)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.slice("tokens", 1, 8), " ").alias("token_preview"),
+    )
+
+
 @query(
     "avi_video_roundtrip",
     """

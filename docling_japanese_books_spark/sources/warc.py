@@ -500,6 +500,95 @@ def read_wat(spark: SparkSession, path_glob: str) -> DataFrame:
     return raw.mapInPandas(op, WAT_SCHEMA)
 
 
+def write_wet(
+    pages: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: Optional[str] = None,
+) -> DataFrame:
+    """Export sink: curated pages -> Common Crawl WET archives (one
+    ``*.warc.wet.gz`` per partition, warcinfo + one gzip member per
+    ``conversion`` record) — the interchange format downstream consumers
+    of extracted text already read.
+
+    Same contract as the image blob sink: a ``mapInPandas`` stage writes
+    each archive executor-side (no driver funnel) and yields one manifest
+    row per file; materializing the returned frame performs the writes.
+    Files are content-addressed (`{sha256 of uncompressed records}.warc
+    .wet.gz`), so task retries, duplicate partitions, and re-runs publish
+    idempotently via tmp-file + atomic rename. Partitioning is the
+    caller's knob: ``pages.repartition(n)`` picks the archive count,
+    ``sortWithinPartitions`` the record order. ``ts_col`` stamps each
+    record from a timestamp column; without it a fixed epoch keeps the
+    output byte-deterministic (this engine stamps no wall clocks).
+    ``out_dir`` must be reachable by every executor (local dir on
+    local[*], shared/object storage on a cluster)."""
+    import hashlib
+    import os
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), True),
+            T.StructField("n_records", T.LongType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+        ]
+    )
+    fixed_ts = dt.datetime(2024, 1, 1)
+    cols = [url_col, text_col] + ([ts_col] if ts_col else [])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # streamed: one gzip member to disk per record as batches arrive —
+        # the partition's text is never held in memory; the content hash
+        # accumulates over the UNcompressed record bytes so the name is
+        # independent of gzip framing
+        import tempfile
+
+        os.makedirs(out_dir, exist_ok=True)
+        h = hashlib.sha256()
+        n_records = 0
+        f = None
+        tmp = None
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ts = getattr(row, ts_col) if ts_col else fixed_ts
+                if hasattr(ts, "to_pydatetime"):
+                    ts = ts.to_pydatetime()
+                rec = build_wet_record(
+                    getattr(row, url_col), ts, getattr(row, text_col) or ""
+                )
+                if f is None:
+                    fd, tmp = tempfile.mkstemp(
+                        dir=out_dir, suffix=".wet.tmp"
+                    )
+                    f = os.fdopen(fd, "wb")
+                    f.write(gzip.compress(_build_warcinfo(ts)))
+                h.update(rec)
+                f.write(gzip.compress(rec))
+                n_records += 1
+        if f is None:  # empty partition: no file, no manifest row
+            yield pd.DataFrame(
+                {
+                    "path": pd.Series(dtype=object),
+                    "n_records": pd.Series(dtype="int64"),
+                    "n_bytes": pd.Series(dtype="int64"),
+                }
+            )
+            return
+        f.close()
+        n_bytes = os.path.getsize(tmp)
+        path = os.path.join(out_dir, f"{h.hexdigest()}.warc.wet.gz")
+        if os.path.exists(path):  # content-addressed: retry already landed
+            os.remove(tmp)
+        else:
+            os.replace(tmp, path)  # atomic publish
+        yield pd.DataFrame(
+            [dict(path=path, n_records=n_records, n_bytes=n_bytes)]
+        )
+
+    return pages.select(*cols).mapInPandas(op, schema)
+
+
 def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
     """WET archive glob -> pages DataFrame with ``text`` already populated
     (extraction already happened upstream at Common Crawl): binaryFile

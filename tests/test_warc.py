@@ -360,3 +360,49 @@ def test_read_wat_spark_operator(spark, tmp_path):
     assert [(l.url, l.text) for l in r.links] == [
         ("https://t2.example/p", "anchor 2")
     ]
+
+
+def test_write_wet_roundtrip_and_idempotence(spark, tmp_path):
+    from docling_japanese_books_spark.sources.warc import read_wet, write_wet
+
+    rows = [
+        (f"https://c{i % 3}.example/p/{i}", f"curated text body {i} 日本語 {i}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string").repartition(4)
+    out = str(tmp_path / "wet_out")
+    manifest = write_wet(df, out).collect()
+    paths = sorted(r.path for r in manifest)
+    assert sum(r.n_records for r in manifest) == 20
+    assert len(paths) <= 4 and all(p.endswith(".warc.wet.gz") for p in paths)
+    import os
+
+    assert all(os.path.getsize(r.path) == r.n_bytes for r in manifest)
+    # roundtrip: every (url, text) survives byte-for-byte
+    back = {
+        r.url: r.text for r in read_wet(spark, out + "/*.warc.wet.gz").collect()
+    }
+    assert back == dict(rows)
+    # idempotence: a second run publishes the same content-addressed files
+    manifest2 = write_wet(df, out).collect()
+    assert sorted(r.path for r in manifest2) == paths
+    assert sorted(os.listdir(out)) == sorted(
+        os.path.basename(p) for p in paths
+    )
+
+
+def test_write_wet_ts_column_and_empty_partitions(spark, tmp_path):
+    import datetime as dtm
+
+    from docling_japanese_books_spark.sources.warc import read_wet, write_wet
+
+    ts = dtm.datetime(2025, 6, 1, 8, 30, 0)
+    df = spark.createDataFrame(
+        [("https://a.example/1", "text one", ts)],
+        "url string, text string, warc_ts timestamp",
+    ).repartition(8)  # 7 empty partitions must publish nothing
+    out = str(tmp_path / "wet_ts")
+    manifest = [r for r in write_wet(df, out, ts_col="warc_ts").collect()]
+    assert len(manifest) == 1 and manifest[0].n_records == 1
+    got = read_wet(spark, out + "/*.warc.wet.gz").collect()
+    assert got[0].warc_ts == ts
