@@ -259,3 +259,112 @@ def gopher_rules(col: Column) -> Column:
 def gopher_filter(df, text_col: str = "text"):
     """Keep only documents passing every Gopher rule."""
     return df.filter(gopher_rules(F.col(text_col)).getField("passes"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021, App. A1.1 second table — the
+# duplicate-line/paragraph and n-gram repetition battery; thresholds and
+# character-fraction conventions follow the published RedPajama/NeMo
+# reimplementation: duplicate occurrences beyond the first are counted,
+# and for duplicated n-grams a character is counted once no matter how
+# many duplicated n-grams cover it)
+# ---------------------------------------------------------------------------
+
+_GOPHER_REP_FIELDS = (
+    [("dup_line_frac", 0.30), ("dup_para_frac", 0.30),
+     ("dup_line_char_frac", 0.20), ("dup_para_char_frac", 0.20)]
+    + [(f"top_{n}gram_char_frac", t)
+       for n, t in ((2, 0.20), (3, 0.18), (4, 0.16))]
+    + [(f"dup_{n}gram_char_frac", t)
+       for n, t in ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12),
+                    (9, 0.11), (10, 0.10))]
+)
+
+GOPHER_REP_SCHEMA = T.StructType(
+    [T.StructField(name, T.DoubleType(), False)
+     for name, _ in _GOPHER_REP_FIELDS]
+    + [T.StructField("rep_passes", T.BooleanType(), False)]
+)
+
+
+def _dup_unit_fracs(units: "list[str]") -> "tuple[float, float]":
+    """(duplicate-unit fraction, duplicate-unit CHARACTER fraction) over
+    lines or paragraphs: occurrences beyond the first of each distinct
+    unit count as duplicates."""
+    units = [u for u in (x.strip() for x in units) if u]
+    if not units:
+        return 0.0, 0.0
+    total_chars = sum(len(u) for u in units)
+    c = Counter(units)
+    dup_n = sum(n - 1 for n in c.values() if n > 1)
+    dup_chars = sum((n - 1) * len(u) for u, n in c.items() if n > 1)
+    return dup_n / len(units), (dup_chars / total_chars if total_chars else 0.0)
+
+
+def _gopher_repetition_row(text: str) -> "list[float]":
+    lines = text.split("\n")
+    paras = text.split("\n\n")
+    dl, dlc = _dup_unit_fracs(lines)
+    dp, dpc = _dup_unit_fracs(paras)
+    toks = [t for t in _ASCII_WS.split(text.lower()) if t]
+    lens = [len(t) for t in toks]
+    total_tok_chars = sum(lens)
+    vals = [dl, dp, dlc, dpc]
+    # top n-gram char fraction: chars of the most frequent word n-gram,
+    # counted over ALL its occurrences, / total token chars
+    for n in (2, 3, 4):
+        if len(toks) < n or total_tok_chars == 0:
+            vals.append(0.0)
+            continue
+        grams = Counter(
+            tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        )
+        (gram, cnt) = max(grams.items(), key=lambda kv: (kv[1], kv[0]))
+        vals.append(cnt * sum(len(w) for w in gram) / total_tok_chars)
+    # duplicated n-gram char fraction: chars covered by occurrences beyond
+    # the first of any duplicated n-gram, each character counted once
+    for n in (5, 6, 7, 8, 9, 10):
+        if len(toks) < n or total_tok_chars == 0:
+            vals.append(0.0)
+            continue
+        seen: dict = {}
+        marked = [False] * len(toks)
+        for i in range(len(toks) - n + 1):
+            g = tuple(toks[i:i + n])
+            if g in seen:
+                for j in range(i, i + n):
+                    marked[j] = True
+            else:
+                seen[g] = i
+        vals.append(
+            sum(l for l, m in zip(lens, marked) if m) / total_tok_chars
+        )
+    return vals
+
+
+@F.pandas_udf(GOPHER_REP_SCHEMA)
+def _gopher_repetition_udf(s: "pd.Series") -> "pd.DataFrame":
+    rows = []
+    for text in s:
+        vals = _gopher_repetition_row(text or "")
+        row = {
+            name: round(v, 6)
+            for (name, _), v in zip(_GOPHER_REP_FIELDS, vals)
+        }
+        row["rep_passes"] = all(
+            v <= thr for (_, thr), v in zip(_GOPHER_REP_FIELDS, vals)
+        )
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def gopher_repetition_rules(col: Column) -> Column:
+    """The Gopher repetition battery as one struct column: duplicate
+    line/paragraph fractions (count and character weighted), top-{2,3,4}
+    word-n-gram character fractions, duplicated-{5..10}-gram character
+    fractions, and ``rep_passes`` (every measure within its published
+    threshold). One ``Counter``-based pass per document inside an
+    Arrow-batched pandas UDF — O(tokens x 9) per row, no explode, the
+    100 TB map shape. Combine with ``gopher_rules`` for the full
+    published filter."""
+    return _gopher_repetition_udf(col)

@@ -1209,6 +1209,32 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_gopher_repetition")
+def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition battery (textstats.gopher_repetition_rules):
+    duplicate line/paragraph fractions (count- and character-weighted),
+    top-{2,3,4}-gram char fractions, duplicated-{5..10}-gram char
+    fractions, and the combined verdict — one Counter pass per document
+    in a single Arrow stage. Rows-only (the overlapping-n-gram char
+    marking has no tractable ANSI twin); the measures are pinned
+    hand-computed by tests/test_textstats.py, and the simpler line/
+    top-word pair stays oracle-checked via doc_repetition_stats."""
+    from ..operators.textstats import gopher_repetition_rules
+
+    docs = t(spark, sf_dir, "documents")
+    g = gopher_repetition_rules(F.col("text"))
+    return docs.select(
+        "doc_id",
+        g.getField("dup_line_frac").alias("dup_line_frac"),
+        g.getField("dup_para_char_frac").alias("dup_para_char_frac"),
+        g.getField("top_2gram_char_frac").alias("top_2gram_char_frac"),
+        g.getField("top_3gram_char_frac").alias("top_3gram_char_frac"),
+        g.getField("dup_5gram_char_frac").alias("dup_5gram_char_frac"),
+        g.getField("dup_10gram_char_frac").alias("dup_10gram_char_frac"),
+        g.getField("rep_passes").alias("rep_passes"),
+    )
+
+
 @query("doc_unigram_tokens")
 def doc_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece) tokenization over the corpus

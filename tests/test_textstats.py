@@ -359,3 +359,75 @@ def test_gopher_rules_stopword_rule_needs_two_distinct(spark):
     g = df.select(gopher_rules(F.col("text")).alias("g")).collect()[0].g
     assert g.stop_hits == 1 and not g.rule_stopwords
     assert gopher_filter(df).count() == 0
+
+
+def test_gopher_repetition_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.operators.textstats import (
+        gopher_repetition_rules,
+    )
+
+    # 4 lines, one duplicated once: dup_line_frac = 1/4; the dup line is
+    # 'aa bb' (5 chars) of 5+5+7+9=26 stripped chars -> dup_line_char 5/26
+    text = "aa bb\ncc dd\nee ff gg\naa bb\n\nhh ii jj"
+    # wait: lines = [aa bb, cc dd, ee ff gg, aa bb, '', hh ii jj]
+    df = spark.createDataFrame([(text,)], "text string")
+    g = df.select(gopher_repetition_rules(F.col("text")).alias("g")).collect()[0].g
+    assert g.dup_line_frac == round(1 / 5, 6)  # 5 nonempty lines, 1 dup
+    total = len("aa bb") + len("cc dd") + len("ee ff gg") + len("aa bb") + len("hh ii jj")
+    assert g.dup_line_char_frac == round(len("aa bb") / total, 6)
+    # paragraphs: ['aa bb\ncc dd\nee ff gg\naa bb', 'hh ii jj'] - no dups
+    assert g.dup_para_frac == 0.0 and g.dup_para_char_frac == 0.0
+    # note: rep_passes is False here — on a 10-token text even a
+    # single-occurrence top bigram exceeds 20% of chars, exactly as the
+    # published formula behaves on tiny documents (Gopher's word-count
+    # rule screens those out before this battery applies)
+
+
+def test_gopher_repetition_top_ngram_and_dup_ngram(spark):
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.operators.textstats import (
+        gopher_repetition_rules,
+    )
+
+    # 'x y' bigram repeated 10 times + unique tail: top-2gram chars
+    # = 10 occurrences x 2 chars over 20 + tail token chars
+    text = "x y " * 10 + "unique1 unique2 unique3"
+    df = spark.createDataFrame([(text,)], "text string")
+    g = df.select(gopher_repetition_rules(F.col("text")).alias("g")).collect()[0].g
+    total = 20 + len("unique1") + len("unique2") + len("unique3")
+    # bigrams: ('x','y') occurs 10x, ('y','x') 9x
+    assert g.top_2gram_char_frac == round(10 * 2 / total, 6)
+    assert not g.rep_passes  # 20/41 > 0.20 threshold
+    # a fully repeated 5-gram: every later occurrence's tokens marked
+    text2 = "a1 b2 c3 d4 e5 " * 4 + "t u v w z"
+    g2 = spark.createDataFrame([(text2,)], "text string").select(
+        gopher_repetition_rules(F.col("text")).alias("g")
+    ).collect()[0].g
+    total2 = 4 * 10 + 5  # 20 tokens of len 2 + 5 singles
+    # occurrences 2..4 of the repeated block mark tokens 5..19 (15 tokens,
+    # 2 chars each) plus overlapping window marks at the seam
+    assert g2.dup_5gram_char_frac >= round(15 * 2 / total2, 6)
+    assert not g2.rep_passes
+
+
+def test_gopher_repetition_clean_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.operators.textstats import (
+        gopher_repetition_rules,
+    )
+
+    # clean = 80 distinct words: every n-gram occurs once, so top-n-gram
+    # fractions are tiny and nothing is duplicated
+    clean = " ".join(f"word{i:02d}x" for i in range(80))
+    rows = [("",), (clean,)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r.g for r in df.select(
+        gopher_repetition_rules(F.col("text")).alias("g")).collect()]
+    assert all(g.rep_passes for g in got)
+    assert got[0].dup_line_frac == 0.0 and got[0].top_2gram_char_frac == 0.0
+    assert got[1].dup_5gram_char_frac == 0.0
+    assert got[1].top_2gram_char_frac == round(2 * 7 / (80 * 7), 6)
