@@ -57,6 +57,48 @@ def host_link_edges(
     )
 
 
+def top_anchors(
+    pages: DataFrame,
+    k: int = 5,
+    url_col: str = "url",
+    links_col: str = "links",
+) -> DataFrame:
+    """Per destination host, the ``k`` most frequent anchor texts —
+    the classic off-page relevance/quality signal (anchor text describes
+    the TARGET, which is why retrieval systems index it): ``(dst_host,
+    anchor, n, rank)``, rank 1 = most frequent, ties broken
+    lexicographically.
+
+    Shape: explode -> map-side-combined groupBy (dst_host, anchor) ->
+    rank window over the AGGREGATE. The window partitions by dst_host,
+    so its sort is bounded by distinct anchors per host (a hub with 1e6
+    distinct anchors sorts 1e6 pre-aggregated rows in one task —
+    spill-backed and cheap), never by raw link count. Empty/blank
+    anchors are dropped: they carry no signal and on real crawls would
+    dominate every host's top-k.
+    """
+    from pyspark.sql import Window
+
+    link = F.explode(F.col(links_col)).alias("link")
+    counts = (
+        pages.select(link)
+        .select(
+            host_of(F.col("link.url")).alias("dst_host"),
+            F.trim(F.col("link.text")).alias("anchor"),
+        )
+        .filter((F.col("anchor") != "") & (F.col("dst_host") != ""))
+        .groupBy("dst_host", "anchor")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("n"), F.asc("anchor")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def host_pagerank(
     edges: DataFrame,
     iterations: int = 3,

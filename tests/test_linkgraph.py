@@ -157,3 +157,40 @@ def test_pagerank_checkpoint_mode_matches_plain(spark):
     assert plain.keys() == ckpt.keys()
     for h in plain:
         assert abs(plain[h] - ckpt[h]) < 1e-15
+
+
+def test_top_anchors_rank_and_blank_filtering(spark):
+    from pyspark.sql import Row
+
+    from docling_japanese_books_spark.operators.linkgraph import top_anchors
+
+    def page(url, pairs):
+        return Row(
+            url=url, links=[Row(url=u, text=t) for u, t in pairs]
+        )
+
+    pages = spark.createDataFrame(
+        [
+            page("https://s1.example/a", [
+                ("https://t.example/1", "docs"),
+                ("https://t.example/2", "docs"),
+                ("https://t.example/3", "home"),
+                ("https://t.example/4", "  "),      # blank: dropped
+                ("/relative", "whatever"),           # hostless: dropped
+            ]),
+            page("https://s2.example/b", [
+                ("https://t.example/5", "docs"),
+                ("https://t.example/6", "api"),
+                ("https://other.example/1", "zzz"),
+            ]),
+        ]
+    )
+    got = [
+        (r.dst_host, r.anchor, r.n, r.rank)
+        for r in top_anchors(pages, k=2).orderBy("dst_host", "rank").collect()
+    ]
+    assert got == [
+        ("other.example", "zzz", 1, 1),
+        ("t.example", "docs", 3, 1),   # 3 mentions across both pages
+        ("t.example", "api", 1, 2),    # count tie with 'home': lexicographic
+    ]
