@@ -62,7 +62,6 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # round-3 swaps: unique shapes promoted in; redundant greens out
     "emb_cosine_topk": ("similarity_topk_batch",),  # brute-force cosine top-k
     "quantization_storage": ("emb_quantize_int8",),  # A14; real kernels green
-    "doc_quality_score": ("doc_lang_quality",),  # same textstats algebra
     "doc_source_histogram": ("corpus_stats",),  # richer agg, same key
     # partition-rank window
     "orders_rank_in_customer": ("similarity_topk_batch", "orders_rollup"),
@@ -151,6 +150,13 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # per-rule boundaries pinned by tests/test_textstats.py — demoted
     # from birth
     "doc_gopher_rules": ("doc_lang_quality", "doc_token_stats"),
+    # C4 line/page cleaning: split/filter/rejoin array algebra, the shape
+    # the in-window sentence_split / doc_token_stats rows keep green; rule
+    # boundaries pinned by tests/test_c4.py — demoted from birth.
+    # (doc_quality_score retired to make the slot: its composite formula
+    # is unit-golden-pinned and the quality family rides doc_lang_quality
+    # + doc_gopher_rules.)
+    "doc_c4_clean": ("sentence_split", "doc_token_stats"),
     # round-7 swap: semdedup_verdicts promoted in (embedding-level dedup —
     # new unique coverage); exact-quantile agg is a plain single-group
     # aggregate whose grouped-agg shape rides the rollup and mean/std rows

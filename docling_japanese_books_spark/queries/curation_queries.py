@@ -433,36 +433,64 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# doc_quality_score retired as a registry query in round 7 (the composite
+# formula is pinned by a hand-computed unit golden in
+# tests/test_textstats.py, the quality-family oracle coverage now rides
+# doc_lang_quality + doc_gopher_rules, and the quality_score function
+# itself stays the curate_corpus heuristic gate).
+
+
 @query(
-    "doc_quality_score",
+    "doc_c4_clean",
     r"""
     WITH base AS (
-      SELECT doc_id,
-             greatest(length(text), 1) * 1.0 AS n,
-             greatest(CASE WHEN trim(text) = '' THEN 0
-                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
-                      1) * 1.0 AS toks,
-             len(regexp_extract_all(text, '[.,;:!?。！？、]')) * 1.0 AS punct,
-             len(regexp_extract_all(text, '[A-Z]')) * 1.0 AS upper_n,
-             len(regexp_extract_all(lower(text),
-                 '\b(?:the|and|of|to|in|is|that|it|for|was)\b')) * 1.0 AS stop
-      FROM documents)
+      SELECT doc_id, text,
+             regexp_split_to_array(text, '\n') AS lines
+      FROM documents),
+    k AS (
+      SELECT doc_id, text, len(lines) AS n_in,
+             list_filter(lines, l ->
+                 regexp_matches(trim(l), '[.!?"。！？」]$')
+                 AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+                 AND NOT contains(lower(trim(l)), 'javascript')
+                 AND NOT contains(lower(trim(l)), 'terms of use')
+                 AND NOT contains(lower(trim(l)), 'privacy policy')
+                 AND NOT contains(lower(trim(l)), 'cookie policy')
+                 AND NOT contains(lower(trim(l)), 'uses cookies')
+                 AND NOT contains(lower(trim(l)), 'use of cookies')
+                 AND NOT contains(lower(trim(l)), 'use cookies'))
+               AS kept_lines
+      FROM base)
     SELECT doc_id,
-           round(
-             0.3 * least(n / 500.0, 1.0)
-           + 0.2 * (CASE WHEN punct / toks > 0.5 THEN 0.0
-                    ELSE 1.0 - punct / toks END)
-           + 0.2 * (CASE WHEN upper_n / n > 0.3 THEN 0.3 ELSE 1.0 END)
-           + 0.3 * least(stop / toks * 4.0, 1.0), 6) AS quality
-    FROM base
+           coalesce(array_to_string(list_transform(kept_lines, l -> trim(l)),
+                                    chr(10)), '') AS cleaned,
+           CAST(n_in AS INT) AS n_lines_in,
+           CAST(len(kept_lines) AS INT) AS n_lines_kept,
+           (len(kept_lines) >= 3
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')) AS kept
+    FROM k
     """,
 )
-def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score (length / punctuation / shouting / stopword
-    signals), pure codegen'd regexp algebra — oracle-checked, formula also
-    pinned by tests/test_textstats.py."""
-    return t(spark, sf_dir, "documents").select(
-        "doc_id", quality_score(F.col("text")).alias("quality")
+def doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning recipe (operators/c4.py, Raffel et al. 2020 §2.2):
+    per-line terminal-punctuation / min-words / javascript / policy-
+    boilerplate rules, page-level lorem-ipsum / curly-brace / min-kept
+    rules — all JVM-side array+regexp algebra, every rule mirrored 1:1
+    into DuckDB list functions (the cleaned text itself is part of the
+    hash compare). Demoted from birth: the split/filter/rejoin shape is
+    green via the in-window sentence_split / doc_token_stats rows; the
+    rule battery's boundary cases are pinned by tests/test_c4.py."""
+    from ..operators.c4 import c4_signals
+
+    docs = t(spark, sf_dir, "documents")
+    s = c4_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s.getField("text").alias("cleaned"),
+        s.getField("n_lines_in").alias("n_lines_in"),
+        s.getField("n_lines_kept").alias("n_lines_kept"),
+        s.getField("kept").alias("kept"),
     )
 
 

@@ -431,3 +431,15 @@ def test_gopher_repetition_clean_and_empty(spark):
     assert got[0].dup_line_frac == 0.0 and got[0].top_2gram_char_frac == 0.0
     assert got[1].dup_5gram_char_frac == 0.0
     assert got[1].top_2gram_char_frac == round(2 * 7 / (80 * 7), 6)
+
+
+def test_quality_score_hand_computed_golden(spark):
+    """Retirement pin for the doc_quality_score oracle query: the
+    composite formula itself, hand-computed. 'the cat and the dog.' ->
+    n=20, toks=5, length 20/500, punct 1/5 -> 0.8, upper 1.0,
+    stop 3/5*4 capped at 1.0: 0.3*0.04 + 0.2*0.8 + 0.2 + 0.3 = 0.672."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("the cat and the dog.",)], "text string")
+    got = df.select(quality_score(F.col("text")).alias("q")).collect()[0].q
+    assert got == 0.672
