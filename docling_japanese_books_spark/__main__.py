@@ -99,6 +99,7 @@ def cmd_curate(args) -> int:
         min_quality=args.min_quality,
         near_dup_threshold=args.near_dup,
         gopher=args.gopher,
+        c4=args.c4,
         model_quality_min=args.model_quality,
         substring_min_len=args.substring_min_len,
         semantic_tau=args.semantic_tau,
@@ -109,6 +110,8 @@ def cmd_curate(args) -> int:
         f"exact_dedup={report.rows_after_exact_dedup} "
         f"near_dedup={report.rows_after_near_dedup}"
     )
+    if report.rows_c4_pass is not None:
+        line += f" c4_pass={report.rows_c4_pass}"
     if report.rows_gopher_pass is not None:
         line += f" gopher_pass={report.rows_gopher_pass}"
     if report.rows_model_quality_pass is not None:
@@ -189,6 +192,10 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--gopher", action="store_true",
         help="also require every Gopher heuristic rule to pass",
+    )
+    cu.add_argument(
+        "--c4", action="store_true",
+        help="apply the C4 line/page cleaning recipe before scoring",
     )
     cu.add_argument(
         "--model-quality", type=float, default=None,

@@ -3,6 +3,8 @@ raw extracted pages into an LLM-training-ready corpus.
 
     extracted pages
       -> NFKC normalization (X12)
+      -> optional C4 line/page cleaning (operators/c4.py — rewrites text
+         to the retained lines, drops failing pages)
       -> language id + quality scoring (textstats)
       -> quality gate (+ optional Gopher rule battery, + optional
          learned-classifier gate, quality_clf)
@@ -40,6 +42,7 @@ class CurationReport:
     rows_after_exact_dedup: int
     rows_after_near_dedup: int
     # optional stages (None = stage not enabled)
+    rows_c4_pass: "int | None" = None
     rows_gopher_pass: "int | None" = None
     rows_model_quality_pass: "int | None" = None
     rows_after_semantic_dedup: "int | None" = None
@@ -60,6 +63,7 @@ def curate_corpus(
     url_col: str = "url",
     text_col: str = "text",
     gopher: bool = False,
+    c4: bool = False,
     model_quality_min: "float | None" = None,
     model_sample_size: int = 200,
     substring_min_len: "int | None" = None,
@@ -77,10 +81,31 @@ def curate_corpus(
     and already materialized, so writing it does not recompute the pipeline.
     At cluster scale, substitute a checkpoint/table write for .persist()."""
     normalized = extracted.withColumn(text_col, normalize_cjk_udf(F.col(text_col)))
+    # optional C4 cleaning (operators/c4.py): pure column algebra over the
+    # normalized text, so it folds into the same persisted stage — text is
+    # rewritten to the retained lines for pages that pass, downstream
+    # scores see the CLEANED text, and the page verdict joins the gate
+    c4_col = None
+    if c4:
+        from ..operators.c4 import c4_signals
+
+        normalized = normalized.withColumn(
+            "_c4", c4_signals(F.col(text_col))
+        ).withColumn(
+            text_col,
+            F.when(F.col("_c4.kept"), F.col("_c4.text")).otherwise(
+                F.col(text_col)
+            ),
+        )
+        c4_col = F.col("_c4.kept")
     scored = normalized.withColumn("lang_guess", lang_id(F.col(text_col))).withColumn(
         "quality", quality_score(F.col(text_col))
     )
     gate = (F.col("quality") >= min_quality) & (F.length(text_col) >= min_chars)
+    if c4_col is not None:
+        gate_with_c4 = gate & c4_col
+    else:
+        gate_with_c4 = gate
     # optional Gopher battery (textstats.gopher_rules): folded into the
     # same gate stage and the same single head aggregate — still one pass,
     # zero extra jobs; rows_gopher_pass counts survivors of BOTH gates
@@ -88,9 +113,9 @@ def curate_corpus(
         from ..operators.textstats import gopher_rules
 
         g_pass = gopher_rules(F.col(text_col)).getField("passes")
-        full_gate = gate & g_pass
+        full_gate = gate_with_c4 & g_pass
     else:
-        full_gate = gate
+        full_gate = gate_with_c4
     scored = scored.persist()
 
     # rows_in + quality survivors in ONE aggregate over the cached stage
@@ -98,8 +123,14 @@ def curate_corpus(
         F.count("*").alias("rows_in"),
         F.coalesce(F.sum(gate.cast("long")), F.lit(0)).alias("rows_quality"),
         F.coalesce(F.sum(full_gate.cast("long")), F.lit(0)).alias("rows_full"),
+        F.coalesce(
+            F.sum(c4_col.cast("long")) if c4_col is not None else F.lit(0),
+            F.lit(0),
+        ).alias("rows_c4"),
     ).collect()[0]
     gated = scored.filter(full_gate)
+    if c4:
+        gated = gated.drop("_c4")
 
     # optional learned-quality gate (quality_clf): train self-supervised
     # on a bounded hash-ordered sample of the heuristic survivors (reads
@@ -221,6 +252,7 @@ def curate_corpus(
     report = CurationReport(
         rows_in=int(head.rows_in),
         rows_quality_pass=int(head.rows_quality),
+        rows_c4_pass=int(head.rows_c4) if c4 else None,
         rows_gopher_pass=int(head.rows_full) if gopher else None,
         rows_after_exact_dedup=rows_exact,
         rows_after_near_dedup=rows_near,

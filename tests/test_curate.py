@@ -260,3 +260,29 @@ def test_curation_gopher_gate(spark):
     # downstream dedup still applies: the three gopher survivors differ
     # only in their tails, so near-dup collapses them to the min url
     assert [r.url for r in curated.collect()] == ["https://pass/0"]
+
+
+def test_curation_c4_stage_rewrites_and_gates(spark):
+    """c4=True cleans text (retained lines) before scoring, drops failing
+    pages via the gate, and reports rows_c4_pass — while the heuristic
+    quality count keeps its meaning on the cleaned text."""
+    goodline = "the quick brown fox jumps over that lazy dog with style."
+    keep_text = "\n".join([goodline] * 4) + "\nno terminal punct dropped line"
+    rows = [
+        (f"https://keep/{i}", keep_text + f"\nthis unique tail sentence number {i} is long enough to matter.", "en")
+        for i in range(2)
+    ] + [
+        ("https://code/1", "var x = 1;\nfunction f() {}", "en"),  # curly: dropped
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    curated, rep = curate_corpus(df, min_quality=0.0, min_chars=1, c4=True)
+    assert rep.rows_in == 3 and rep.rows_c4_pass == 2
+    out = {r.url: r.text for r in curated.collect()}
+    # near-dup collapses the two keeps to the min url; text was REWRITTEN:
+    # the non-terminal line is gone, the tail sentence survived
+    assert list(out) == ["https://keep/0"]
+    assert "dropped line" not in out["https://keep/0"]
+    assert "unique tail sentence number 0" in out["https://keep/0"]
+    # disabled: report field stays None
+    _, rep2 = curate_corpus(df, min_quality=0.0, min_chars=1)
+    assert rep2.rows_c4_pass is None
