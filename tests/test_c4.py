@@ -75,3 +75,19 @@ def test_c4_clean_filters_and_rewrites(spark):
 def test_c4_trims_kept_lines(spark):
     s = _sig(spark, "   " + GOODLINE + "   \n" + GOODLINE + "\n" + GOODLINE)
     assert s.kept and s.text.split("\n")[0] == GOODLINE  # trimmed
+
+
+def test_c4_clean_is_idempotent(spark):
+    """Every retained line was trimmed and passed the full line battery,
+    and surviving pages passed the page battery on their original text —
+    so cleaning a cleaned corpus must be the identity."""
+    rows = [
+        (1, "\n".join([GOODLINE] * 3) + "\n   spaced but fine sentence with words here.   \nnope"),
+        (2, "\n".join([GOODLINE] * 5)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = c4_clean(df)
+    twice = c4_clean(once)
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert a == b and set(a) == {1, 2}
