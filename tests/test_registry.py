@@ -1,6 +1,6 @@
 """Registry meta-invariants: every driver-facing query must survive the
 correctness harness. These are schema-level checks (no query execution), so
-the whole 85-query registry verifies in seconds."""
+the whole registry verifies in seconds."""
 
 from __future__ import annotations
 
