@@ -103,3 +103,36 @@ def test_unigram_japanese_multichar_pieces(spark):
         .collect()
     )
     assert [r.tokens for r in out] == [r.tokens for r in out2]
+
+
+def test_viterbi_matches_bruteforce_enumeration():
+    """Viterbi must find the max-probability segmentation among ALL
+    segmentations — cross-checked by exhaustive enumeration on short
+    words over a fixed vocabulary."""
+    import math
+
+    vocab = {"a": 0.25, "b": 0.2, "c": 0.1, "ab": 0.15, "bc": 0.12,
+             "abc": 0.08, "ca": 0.06, "aa": 0.04}
+    lp = {k: math.log(v) for k, v in vocab.items()}
+
+    def all_segmentations(w):
+        if not w:
+            yield []
+            return
+        for i in range(1, len(w) + 1):
+            piece = w[:i]
+            if piece in vocab:
+                for rest in all_segmentations(w[i:]):
+                    yield [piece] + rest
+
+    import random
+
+    rng = random.Random(11)
+    for _ in range(200):
+        w = "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+        segs = list(all_segmentations(w))
+        got = viterbi_word(w, lp, max_piece_len=3)
+        best = max(sum(lp[p] for p in s) for s in segs)  # never empty:
+        # every single char is in the vocabulary
+        assert "".join(got) == w
+        assert abs(sum(lp[p] for p in got) - best) < 1e-12
