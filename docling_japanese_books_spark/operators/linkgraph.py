@@ -104,6 +104,7 @@ def host_pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 0,
+    persist_edges: bool = True,
 ) -> DataFrame:
     """Weighted PageRank over a ``host_link_edges`` edge list — the
     host-rank signal Common Crawl publishes with its web graph, used for
@@ -134,7 +135,17 @@ def host_pagerank(
     checkpoint modes — localCheckpoint pins executor blocks, so on a
     preemptible cluster substitute a table write; values are unchanged
     either way (pinned by test).
+
+    ``persist_edges`` (default on) caches the edge frame before
+    iterating: it appears in every iteration's contribution join AND in
+    the node/out-degree seeds, so an unpersisted lineage re-derives the
+    upstream edge build once per appearance. It is the |distinct host
+    pairs| aggregate — orders of magnitude below raw link volume — so
+    caching it is cheap even at full-web scale; pass False when the
+    caller already persisted (curate-style) or wrote it to a table.
     """
+    if persist_edges:
+        edges = edges.persist()
     out_w = edges.groupBy(F.col("src_host").alias("host")).agg(
         F.sum("n_links").cast("double").alias("_out")
     )
