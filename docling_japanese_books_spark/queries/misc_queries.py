@@ -541,3 +541,50 @@ def cdx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_length",
         "warc_filename",
     )
+
+
+@query("feed_entries")
+def feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-discovery layer (sources/feeds.py): per doc an RSS 2.0 feed
+    (even doc_ids, RFC 822 dates) or an Atom feed (odd doc_ids, RFC 3339
+    dates) is synthesized in-plan and parsed with the production
+    mapInPandas path; the timestamp column proves both date grammars
+    normalize identically. Rows-only; format/protocol semantics are
+    pinned by tests/test_feeds.py."""
+    from ..sources.feeds import parse_feeds
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    day = (d % 27 + 1).cast("int")
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel><title>F'),
+        s(d), F.lit("</title><item><title>post "), s(d),
+        F.lit("</title><link>https://h"), s(d % 7), F.lit(".example/p/"),
+        s(d), F.lit("</link><pubDate>"),
+        F.date_format(
+            F.make_date(F.lit(2024), F.lit(3), day), "EEE, dd MMM yyyy"
+        ),
+        F.lit(" 12:00:00 GMT</pubDate></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>F'), s(d),
+        F.lit('</title><entry><title>post '), s(d),
+        F.lit('</title><link rel="alternate" href="https://h'), s(d % 7),
+        F.lit(".example/p/"), s(d), F.lit('"/><updated>'),
+        F.date_format(F.make_date(F.lit(2024), F.lit(3), day), "yyyy-MM-dd"),
+        F.lit("T12:00:00Z</updated></entry></feed>"),
+    )
+    xml = F.when(d % 2 == 0, rss).otherwise(atom)
+    parsed = parse_feeds(
+        docs.select(
+            F.concat(F.lit("https://h"), s(d % 7), F.lit(".example/feed/"),
+                     s(d)).alias("url"),
+            F.encode(xml, "utf-8").alias("payload"),
+        )
+    )
+    return parsed.select(
+        "feed_url", "kind", "entry_url", "title",
+        F.date_format("published_ts", "yyyy-MM-dd HH:mm:ss").alias("published"),
+        "status",
+    )
