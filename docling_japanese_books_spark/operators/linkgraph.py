@@ -229,3 +229,51 @@ def host_degrees(edges: DataFrame) -> DataFrame:
             F.coalesce("out_hosts", F.lit(0)).cast("long").alias("out_hosts"),
         )
     )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    max_rounds: int = 6,
+    src_col: str = "url",
+    dst_col: str = "location",
+) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING: (url, final_url,
+    resolved) where final_url follows the redirect function until a
+    non-redirecting url (resolved=true) or until 2**max_rounds hops have
+    been followed without terminating (resolved=false — a cycle or an
+    absurdly long chain, both of which real crawlers refuse).
+
+    The naive loop follows one hop per join — O(longest chain) shuffles.
+    Doubling composes the partial function with itself each round
+    (f <- f(f)), so a 64-hop chain resolves in 6 self-joins; crawl
+    redirect chains are <=~10 hops (browsers cap at 20), making
+    ``max_rounds=6`` exhaustive in practice. Each round is ONE
+    equi-self-join of the (url -> target, done) frame — the same
+    log-rounds shape as the dedup module's connected components, and the
+    reason this works at web scale where per-hop iteration would not.
+
+    Input: one row per KNOWN redirect (src_col -> dst_col). Urls that
+    never appear as a source are their own final_url by definition and
+    need no row. Self-redirects (url -> itself) are degenerate cycles:
+    resolved=false.
+    """
+    f = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("t")
+    ).filter(F.col("t").isNotNull())
+    for _round in range(max_rounds):
+        g = f.select(F.col("u").alias("_gu"), F.col("t").alias("_gt"))
+        f = f.join(g, f["t"] == g["_gu"], "left_outer").select(
+            "u", F.coalesce(F.col("_gt"), F.col("t")).alias("t")
+        )
+    # resolved iff the final target is not itself a redirect source —
+    # checked once AFTER the doubling (an in-loop flag misses terminals
+    # reached on the last round); cycles and over-long chains always end
+    # on a source, so they read false without any special casing
+    srcs = f.select(F.col("u").alias("t")).distinct().withColumn(
+        "_is_src", F.lit(True)
+    )
+    return f.join(srcs, "t", "left_outer").select(
+        F.col("u").alias(src_col),
+        F.col("t").alias("final_url"),
+        F.col("_is_src").isNull().alias("resolved"),
+    )

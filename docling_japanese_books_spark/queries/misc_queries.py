@@ -3,6 +3,9 @@ flattening (U3), sentence splitting (X3), chunk-image enrichment (C4/J1)."""
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: stringified pandas_udf type hints
+# (from __future__ annotations) resolve against module globals
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -588,3 +591,66 @@ def feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("published_ts", "yyyy-MM-dd HH:mm:ss").alias("published"),
         "status",
     )
+
+
+@query("warc_redirect_resolution")
+def warc_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain canonicalization end to end (sources/warc.py
+    ``parse_redirects`` + operators/linkgraph.py ``resolve_redirects``):
+    each doc becomes a REAL WARC response record — docs are grouped in
+    fours, the first three 301/302-redirect to the next url in the
+    group, the fourth serves 200 — parsed back through the redirect
+    parser, and the edge list resolved by pointer doubling: every url
+    must canonicalize to its group's terminal in log rounds. Rows-only
+    (the doubling loop's fixpoint has no bounded ANSI twin; chain/cycle
+    semantics are pinned by tests/test_linkgraph.py)."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    from ..operators.linkgraph import resolve_redirects
+    from ..sources.warc import build_warc_record, parse_redirects
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), True),
+            T.StructField("status", T.IntegerType(), True),
+            T.StructField("location", T.StringType(), True),
+        ]
+    )
+    ts = _dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    @F.pandas_udf(schema)
+    def roundtrip(doc_id: pd.Series) -> pd.DataFrame:
+        rows = []
+        for d in doc_id:
+            d = int(d)
+            url = f"https://r.example/u/{d}"
+            if d % 4 < 3:
+                rec = build_warc_record(
+                    url, ts, b"", status=301 if d % 2 == 0 else 302,
+                    location=f"https://r.example/u/{d + 1}",
+                )
+            else:
+                rec = build_warc_record(url, ts, b"<html><p>landed</p></html>")
+            parsed = next(parse_redirects(rec), None) or {}
+            rows.append(
+                dict(
+                    url=parsed.get("url"),
+                    status=parsed.get("status"),
+                    location=parsed.get("location"),
+                )
+            )
+        return pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    parsed = docs.select(
+        "doc_id", roundtrip(F.col("doc_id")).alias("r")
+    ).select(
+        F.col("r.url").alias("url"),
+        F.col("r.status").alias("status"),
+        F.col("r.location").alias("location"),
+    )
+    edges = parsed.filter(F.col("location").isNotNull())
+    resolved = resolve_redirects(edges)
+    return resolved.select("url", "final_url", "resolved").orderBy("url")

@@ -56,6 +56,8 @@ def build_warc_record(
     warc_type: str = "response",
     chunked: bool = False,
     content_type: str = "text/html; charset=utf-8",
+    status: int = 200,
+    location: Optional[str] = None,
 ) -> bytes:
     """One WARC record wrapping an HTTP/1.1 response payload."""
     if chunked:
@@ -66,10 +68,18 @@ def build_warc_record(
     else:
         body = html
         te = f"Content-Length: {len(html)}".encode("ascii") + CRLF
+    reason = {200: "OK", 301: "Moved Permanently", 302: "Found"}.get(
+        status, "Status"
+    )
     http = (
-        b"HTTP/1.1 200 OK" + CRLF
+        f"HTTP/1.1 {status} {reason}".encode("ascii") + CRLF
         + f"Content-Type: {content_type}".encode("latin-1") + CRLF
         + te
+        + (
+            f"Location: {location}".encode("latin-1") + CRLF
+            if location
+            else b""
+        )
         + (
             f"Content-Language: {content_language}".encode("ascii") + CRLF
             if content_language
@@ -297,6 +307,41 @@ def parse_wet(payload: bytes) -> Iterator[dict]:
             text=content.decode("utf-8", errors="replace"),
             lang="und",
         )
+
+
+_STATUS_RE = re.compile(rb"^HTTP/\d\.\d\s+(\d{3})")
+
+
+def parse_redirects(payload: bytes) -> Iterator[dict]:
+    """WARC bytes -> ``(url, status, location)`` for every stored HTTP
+    response, ``location`` populated on 3xx responses (resolved against
+    nothing — crawlers store absolute Location urls; relative ones pass
+    through for the caller's url-join policy). The redirect edge list
+    feeds ``operators.linkgraph.resolve_redirects`` so duplicate-page
+    detection can canonicalize crawl urls before hashing."""
+    for headers, content in _iter_warc_records(payload):
+        if headers.get(b"warc-type") != b"response":
+            continue
+        try:
+            url = headers[b"warc-target-uri"].decode("utf-8")
+        except (KeyError, UnicodeDecodeError):
+            continue
+        m = _STATUS_RE.match(content)
+        if not m:
+            continue
+        status = int(m.group(1))
+        location = None
+        sep = content.find(CRLF + CRLF)
+        head = content[:sep] if sep >= 0 else content
+        for line in head.split(CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"location":
+                try:
+                    location = v.strip().decode("utf-8") or None
+                except UnicodeDecodeError:
+                    location = None
+                break
+        yield dict(url=url, status=status, location=location)
 
 
 # ---------------------------------------------------------------------------

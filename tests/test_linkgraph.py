@@ -194,3 +194,91 @@ def test_top_anchors_rank_and_blank_filtering(spark):
         ("t.example", "docs", 3, 1),   # 3 mentions across both pages
         ("t.example", "api", 1, 2),    # count tie with 'home': lexicographic
     ]
+
+
+# ---------------------------------------------------------------------------
+# redirect resolution (pointer doubling)
+# ---------------------------------------------------------------------------
+
+
+def _redirects(spark, pairs):
+    return spark.createDataFrame(pairs, "url string, location string")
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    from docling_japanese_books_spark.operators.linkgraph import (
+        resolve_redirects,
+    )
+
+    e = _redirects(
+        spark,
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),     # 3-hop chain -> d
+            ("x", "y"),                             # 1 hop -> y
+            ("p", "q"), ("q", "p"),                 # 2-cycle
+            ("s", "s"),                             # self-redirect
+        ],
+    )
+    got = {r.url: (r.final_url, r.resolved)
+           for r in resolve_redirects(e).collect()}
+    assert got["a"] == ("d", True)
+    assert got["b"] == ("d", True)
+    assert got["c"] == ("d", True)
+    assert got["x"] == ("y", True)
+    assert got["p"][1] is False and got["q"][1] is False  # cycle
+    assert got["s"] == ("s", False)  # degenerate self-cycle
+
+
+def test_resolve_redirects_long_chain_log_rounds(spark):
+    from docling_japanese_books_spark.operators.linkgraph import (
+        resolve_redirects,
+    )
+
+    # 40-hop chain: 6 doubling rounds reach 2^6=64 hops
+    pairs = [(f"u{i}", f"u{i+1}") for i in range(40)]
+    got = {r.url: (r.final_url, r.resolved)
+           for r in resolve_redirects(_redirects(spark, pairs)).collect()}
+    assert got["u0"] == ("u40", True)
+    assert got["u39"] == ("u40", True)
+    # but 3 rounds (2^3 = 8 hops) cannot finish a 40-hop chain
+    got3 = {r.url: r.resolved
+            for r in resolve_redirects(
+                _redirects(spark, pairs), max_rounds=3).collect()}
+    assert got3["u0"] is False
+
+
+def test_parse_redirects_from_real_warc_bytes(spark):
+    import datetime as dtm
+
+    from docling_japanese_books_spark.operators.linkgraph import (
+        resolve_redirects,
+    )
+    from docling_japanese_books_spark.sources.warc import (
+        build_warc_record,
+        parse_redirects,
+    )
+
+    ts = dtm.datetime(2024, 3, 1)
+    blob = (
+        build_warc_record("https://old.example/a", ts, b"",
+                          status=301, location="https://mid.example/b")
+        + build_warc_record("https://mid.example/b", ts, b"",
+                            status=302, location="https://new.example/c")
+        + build_warc_record("https://new.example/c", ts,
+                            b"<html><p>final body</p></html>")
+    )
+    rows = list(parse_redirects(blob))
+    assert [(r["url"], r["status"]) for r in rows] == [
+        ("https://old.example/a", 301),
+        ("https://mid.example/b", 302),
+        ("https://new.example/c", 200),
+    ]
+    edges = spark.createDataFrame(
+        [(r["url"], r["location"]) for r in rows if r["location"]],
+        "url string, location string",
+    )
+    got = {r.url: r.final_url for r in resolve_redirects(edges).collect()}
+    assert got == {
+        "https://old.example/a": "https://new.example/c",
+        "https://mid.example/b": "https://new.example/c",
+    }
