@@ -99,6 +99,7 @@ def cmd_curate(args) -> int:
         min_quality=args.min_quality,
         near_dup_threshold=args.near_dup,
         gopher=args.gopher,
+        gopher_repetition=args.gopher_repetition,
         c4=args.c4,
         model_quality_min=args.model_quality,
         substring_min_len=args.substring_min_len,
@@ -192,6 +193,10 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--gopher", action="store_true",
         help="also require every Gopher heuristic rule to pass",
+    )
+    cu.add_argument(
+        "--gopher-repetition", action="store_true",
+        help="also require the Gopher repetition battery to pass",
     )
     cu.add_argument(
         "--c4", action="store_true",

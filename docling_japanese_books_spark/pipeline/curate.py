@@ -63,6 +63,7 @@ def curate_corpus(
     url_col: str = "url",
     text_col: str = "text",
     gopher: bool = False,
+    gopher_repetition: bool = False,
     c4: bool = False,
     model_quality_min: "float | None" = None,
     model_sample_size: int = 200,
@@ -109,13 +110,22 @@ def curate_corpus(
     # optional Gopher battery (textstats.gopher_rules): folded into the
     # same gate stage and the same single head aggregate — still one pass,
     # zero extra jobs; rows_gopher_pass counts survivors of BOTH gates
+    full_gate = gate_with_c4
     if gopher:
         from ..operators.textstats import gopher_rules
 
-        g_pass = gopher_rules(F.col(text_col)).getField("passes")
-        full_gate = gate_with_c4 & g_pass
-    else:
-        full_gate = gate_with_c4
+        full_gate = full_gate & gopher_rules(F.col(text_col)).getField(
+            "passes"
+        )
+    # the repetition half of the published Gopher filter (dup lines/
+    # paragraphs, top/dup n-gram char fractions) — a pandas UDF, but it
+    # rides the same persisted gate stage, so still one corpus pass
+    if gopher_repetition:
+        from ..operators.textstats import gopher_repetition_rules
+
+        full_gate = full_gate & gopher_repetition_rules(
+            F.col(text_col)
+        ).getField("rep_passes")
     scored = scored.persist()
 
     # rows_in + quality survivors in ONE aggregate over the cached stage
@@ -253,7 +263,9 @@ def curate_corpus(
         rows_in=int(head.rows_in),
         rows_quality_pass=int(head.rows_quality),
         rows_c4_pass=int(head.rows_c4) if c4 else None,
-        rows_gopher_pass=int(head.rows_full) if gopher else None,
+        rows_gopher_pass=(
+            int(head.rows_full) if (gopher or gopher_repetition) else None
+        ),
         rows_after_exact_dedup=rows_exact,
         rows_after_near_dedup=rows_near,
         rows_model_quality_pass=rows_model,

@@ -286,3 +286,20 @@ def test_curation_c4_stage_rewrites_and_gates(spark):
     # disabled: report field stays None
     _, rep2 = curate_corpus(df, min_quality=0.0, min_chars=1)
     assert rep2.rows_c4_pass is None
+
+
+def test_curation_gopher_repetition_gate(spark):
+    """gopher_repetition=True folds the repetition battery into the gate:
+    a document whose top bigram dominates its characters is dropped even
+    though the heuristic quality gate and the rule battery would keep it."""
+    clean = " ".join(f"w{i:02d}ord extra" for i in range(40)) + " the of and."
+    spam = ("click here " * 60).strip() + " the of and."
+    rows = [("https://clean/1", clean, "en"), ("https://spam/1", spam, "en")]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    _, off = curate_corpus(df, min_quality=0.0, min_chars=1)
+    assert off.rows_gopher_pass is None and off.rows_quality_pass == 2
+    curated, rep = curate_corpus(
+        df, min_quality=0.0, min_chars=1, gopher_repetition=True
+    )
+    assert rep.rows_gopher_pass == 1
+    assert [r.url for r in curated.collect()] == ["https://clean/1"]
