@@ -55,7 +55,10 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # and events_running_sum (plain cumulative window; sessionization runs
     # the same frame plus lag) deleted outright — neither carried a unique
     # SURVEY §2 op.
-    "emb_near_dup_pairs": ("similarity_topk_batch", "emb_context_preservation"),
+    # round-7 late retirement: emb_near_dup_pairs deleted outright (the
+    # embedding-dedup flagship is the in-window semdedup_verdicts row; the
+    # pair detector lives on as operators/semdedup.embedding_near_dups,
+    # brute-force-pinned by tests/test_semdedup.py).
     # equality filter; F-family rides other greens
     "search_filtered": ("doc_indicator_flags", "q3_shipping_priority"),
     "event_type_wins": ("events_type_stats",),  # win-count agg

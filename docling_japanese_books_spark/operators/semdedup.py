@@ -159,3 +159,46 @@ def semdedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    tau: float = 0.8,
+    group_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate PAIRS: ``(id_a, id_b, cos)``
+    for every ordered pair (id_a < id_b) with 6-dp-rounded cosine >= tau,
+    optionally restricted to pairs sharing ``group_col`` (a cluster id,
+    an LSH bucket, a language — whatever blocking key the caller brings).
+
+    This is the audit/inspection counterpart of :func:`semdedup` — the
+    verdict operator answers "which rows survive", this one answers
+    "which pairs fired", the view a curation run logs for spot checks.
+
+    Scale: with ``group_col`` the join keeps an equi-key and the work is
+    sum over groups of |group|^2 — the caller bounds it by blocking
+    first (``assign_clusters``, ``minhash_lsh_candidates``'s buckets, a
+    host key). With ``group_col=None`` the pairing is the corpus
+    cross-product: correct, deliberately unbounded, for small frames
+    (query batches, per-partition samples) only.
+    """
+    cols = [F.col(id_col), F.col(vec_col)] + (
+        [F.col(group_col)] if group_col else []
+    )
+    a = corpus.select(*cols).alias("a")
+    b = corpus.select(*cols).alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if group_col:
+        cond = (F.col(f"a.{group_col}") == F.col(f"b.{group_col}")) & cond
+    cos = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+    )

@@ -514,56 +514,10 @@ def emb_pairwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "emb_near_dup_pairs",
-    f"""
-    WITH aug AS (
-      SELECT vec_id, embedding, label FROM embeddings
-      UNION ALL
-      SELECT vec_id + 1000000,
-             list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01),
-             label
-      FROM embeddings WHERE vec_id < 50)
-    SELECT a.label, count(*) AS n_near_dup_pairs
-    FROM aug a JOIN aug b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} > 0.8
-    GROUP BY a.label
-    """,
-)
-def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection (training-data dedup):
-    pairs above threshold within a group. Near-duplicate twins are planted
-    inside the plan (vec_id<50 gets an additively-perturbed copy, cosine
-    ~0.9999 to its original) so the detector provably FIRES — the round-2
-    version returned 0 rows on the random fixture, which checked nothing.
-
-    Scale: the exact form is per-group quadratic; the scale path is the LSH
-    variant (operators/dedup.py) that buckets by random hyperplanes first."""
-    emb = t(spark, sf_dir, "embeddings")
-    twins = emb.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double") + 0.01).alias(
-            "embedding"
-        ),
-        "label",
-    )
-    aug = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"), "label"
-    ).unionByName(twins)
-    a = aug.alias("a")
-    b = aug.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos > 0.8)
-        .groupBy(F.col("a.label").alias("label"))
-        .agg(F.count("*").alias("n_near_dup_pairs"))
-    )
+# round-7: emb_near_dup_pairs retired outright (planted-twin pair count —
+# embedding-level dedup's flagship is the in-window semdedup_verdicts row;
+# the pair-detector semantics moved to operators/semdedup.embedding_near_dups
+# and are brute-force-pinned by tests/test_semdedup.py).
 
 
 # ---------------------------------------------------------------------------

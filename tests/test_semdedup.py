@@ -151,3 +151,81 @@ def test_semdedup_dense_cluster_early_exit(spark):
     out = semdedup(df, first_k_centroids(df, 2), tau=0.999, checkpoint=True)
     kept = [r.vec_id for r in out.filter("kept").collect()]
     assert kept == [3]  # smallest id only; all 2999 twins dropped
+
+
+def test_embedding_near_dup_pairs_matches_numpy(spark):
+    """Brute-force pin for the pair detector (carries the coverage of the
+    retired emb_near_dup_pairs oracle query): planted additive twins must
+    FIRE, and the full pair set must equal a numpy O(n^2) reference under
+    the same 6-dp rounding, grouped and ungrouped."""
+    from docling_japanese_books_spark.operators.semdedup import (
+        embedding_near_dups,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(30, 8)
+    twins = base[:6] + 0.01  # cosine ~0.999+ to their originals
+    vecs = np.vstack([base, twins])
+    ids = list(range(30)) + [100 + i for i in range(6)]
+    groups = [i % 3 for i in range(30)] + [i % 3 for i in range(6)]
+    df = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in v], int(g))
+            for i, v, g in zip(ids, vecs, groups)
+        ],
+        "vec_id long, embedding array<float>, grp int",
+    )
+
+    def np_pairs(restrict_group):
+        v64 = vecs.astype(np.float64)
+        out = set()
+        for x in range(len(ids)):
+            for y in range(len(ids)):
+                if ids[x] >= ids[y]:
+                    continue
+                if restrict_group and groups[x] != groups[y]:
+                    continue
+                na, nb = np.linalg.norm(v64[x]), np.linalg.norm(v64[y])
+                c = 0.0 if na == 0 or nb == 0 else float(v64[x] @ v64[y] / (na * nb))
+                if round(c, 6) >= 0.8:
+                    out.add((ids[x], ids[y]))
+        return out
+
+    got_grouped = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(df, tau=0.8, group_col="grp").collect()
+    }
+    got_global = {
+        (r.id_a, r.id_b) for r in embedding_near_dups(df, tau=0.8).collect()
+    }
+    assert got_grouped == np_pairs(True)
+    assert got_global == np_pairs(False)
+    # the planted twins all fired (grp is id%3-compatible: 100+i ≡ i+1 mod 3
+    # only sometimes — assert on the GLOBAL set, which is blocking-free)
+    assert {(i, 100 + i) for i in range(6)} <= got_global
+
+
+def test_embedding_near_dups_grouped_keeps_equi_key(spark):
+    """With a blocking key the pair join must be an equi-join on the
+    group, never a corpus cartesian."""
+    from docling_japanese_books_spark.operators.semdedup import (
+        embedding_near_dups,
+    )
+
+    rng = np.random.RandomState(9)
+    df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.randn(4)], i % 5)
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>, grp int",
+    )
+    plan = (
+        embedding_near_dups(df, group_col="grp")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = [l for l in plan.splitlines() if "Join" in l and "grp" in l]
+    assert joins, plan
