@@ -59,6 +59,11 @@ DEMOTED: dict[str, tuple[str, ...]] = {
     # embedding-dedup flagship is the in-window semdedup_verdicts row; the
     # pair detector lives on as operators/semdedup.embedding_near_dups,
     # brute-force-pinned by tests/test_semdedup.py).
+    # URL-gate verdicts, demoted from birth in its slot: host/eTLD+1
+    # algebra green via url_host_normalize, flag/CASE shape via
+    # doc_indicator_flags; rule semantics + broadcast plan pinned by
+    # tests/test_urlfilter.py
+    "doc_url_filter": ("url_host_normalize", "doc_indicator_flags"),
     # equality filter; F-family rides other greens
     "search_filtered": ("doc_indicator_flags", "q3_shipping_priority"),
     "event_type_wins": ("events_type_stats",),  # win-count agg

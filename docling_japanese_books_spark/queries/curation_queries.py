@@ -1514,3 +1514,104 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri, bi = train_trigram_counts(docs.filter(F.col("doc_id") < 50))
     scored = lm_quality_score(docs, tri, bi)
     return perplexity_buckets(scored).select("doc_id", "lm_score", "bucket")
+
+
+@query(
+    "doc_url_filter",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' ||
+             CASE doc_id % 4
+               WHEN 0 THEN 'ads.tracker.example'
+               WHEN 1 THEN 'news.portal.example'
+               WHEN 2 THEN 'sub.portal.example'
+               ELSE 'clean' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+             END || '/' ||
+             CASE doc_id % 6
+               WHEN 0 THEN 'phishing-kit'
+               WHEN 1 THEN 'bet-tips'
+               WHEN 3 THEN 'casino/bet'
+               ELSE 'article'
+             END || '/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    v AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+               '/.*$', '') AS host
+      FROM u),
+    w AS (
+      SELECT doc_id, url, host,
+             regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS etld1
+      FROM v),
+    s AS (
+      SELECT doc_id, host, etld1,
+             host IN ('news.portal.example')
+               OR etld1 IN ('tracker.example', 'news.portal.example')
+               AS domain_blocked,
+             contains(lower(url), 'phishing') AS subword_blocked,
+             round(CAST(
+               CASE WHEN regexp_matches(lower(url),
+                 '(^|[^a-z0-9])casino([^a-z0-9]|$)') THEN 1.0 ELSE 0.0 END
+               + CASE WHEN regexp_matches(lower(url),
+                 '(^|[^a-z0-9])bet([^a-z0-9]|$)') THEN 1.5 ELSE 0.0 END
+               AS DOUBLE), 6) AS soft_score
+      FROM w)
+    SELECT doc_id, host, etld1, domain_blocked, subword_blocked,
+           soft_score,
+           NOT domain_blocked AND NOT subword_blocked
+             AND soft_score < 2.0 AS keep
+    FROM s
+    """,
+)
+def doc_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level corpus gate (operators/urlfilter.py — the stage-0 filter
+    of RefinedWeb/FineWeb-style pipelines: UT1 domain blocklist by host
+    AND eTLD+1, hard blocked-subword rule, weighted soft-word score with
+    delimited-token matching). URLs with planted blocked domains (one
+    matched via its registrable domain, one via an exact host entry, a
+    sibling subdomain that must NOT match), a blocked subword, and soft
+    words at 1.5 and 2.5 total weight are synthesized per document; the
+    oracle replays host/eTLD+1 extraction, both blocklist channels, the
+    delimited-token regex (identical in Java regex and RE2 — no \b, no
+    lookarounds), and the keep verdict in DuckDB. Demoted from birth:
+    the host/eTLD+1 algebra is green via the in-window url_host_normalize
+    row and the flag/CASE shape via doc_indicator_flags; broadcast plan
+    shape and rule semantics are pinned by tests/test_urlfilter.py."""
+    from ..operators.urlfilter import url_filter_verdicts
+
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 4 == 0, F.lit("ads.tracker.example"))
+        .when(d % 4 == 1, F.lit("news.portal.example"))
+        .when(d % 4 == 2, F.lit("sub.portal.example"))
+        .otherwise(
+            F.concat(F.lit("clean"), (d % 7).cast("string"), F.lit(".example"))
+        ),
+        F.lit("/"),
+        F.when(d % 6 == 0, F.lit("phishing-kit"))
+        .when(d % 6 == 1, F.lit("bet-tips"))
+        .when(d % 6 == 3, F.lit("casino/bet"))
+        .otherwise(F.lit("article")),
+        F.lit("/"),
+        d.cast("string"),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    return url_filter_verdicts(
+        pages,
+        blocked_domains=["tracker.example", "news.portal.example"],
+        blocked_subwords=["phishing"],
+        soft_words={"casino": 1.0, "bet": 1.5},
+        soft_threshold=2.0,
+    ).select(
+        "doc_id",
+        "host",
+        "etld1",
+        "domain_blocked",
+        "subword_blocked",
+        "soft_score",
+        "keep",
+    )
