@@ -403,6 +403,46 @@ def wat_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("wat_host_hits")
+def wat_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hubs/authorities (operators/linkgraph.py
+    ``host_hits``) over the same deterministic 8-host graph as
+    wat_host_pagerank — the two-sided crawl signal PageRank folds into
+    one score (authorities = hosts worth fetching, hubs = hosts worth
+    re-crawling for link discovery). Three weighted sweep pairs with L1
+    normalization, lineage truncated every iteration (the operator's
+    default — a lazy HITS plan is exponential in sweep count). Rows-only:
+    the fixed-point arithmetic is pinned to 1e-12 against a numpy
+    adjacency-matrix reference in tests/test_linkgraph.py, which is
+    stricter than the 6-dp value hash an SQL twin could carry."""
+    docs = t(spark, sf_dir, "documents")
+    host = lambda expr: F.concat(  # noqa: E731
+        F.lit("host"), expr.cast("string"), F.lit(".example")
+    )
+    e1 = docs.select(
+        host(F.col("doc_id") % 7).alias("src_host"),
+        host((F.col("doc_id") * 3 + 2) % 7).alias("dst_host"),
+    )
+    e2 = docs.select(
+        host(F.col("doc_id") % 7).alias("src_host"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("sink.example"))
+        .otherwise(host((F.col("doc_id") * 5 + 1) % 7))
+        .alias("dst_host"),
+    )
+    edges = (
+        e1.union(e2)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+    from ..operators.linkgraph import host_hits
+
+    return host_hits(edges, iterations=3).select(
+        "host",
+        r6(F.col("hub")).alias("hub"),
+        r6(F.col("authority")).alias("authority"),
+    )
+
+
 @query(
     "charset_extract",
     """

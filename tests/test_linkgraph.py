@@ -282,3 +282,109 @@ def test_parse_redirects_from_real_warc_bytes(spark):
         "https://old.example/a": "https://new.example/c",
         "https://mid.example/b": "https://new.example/c",
     }
+
+
+def _edges_df(spark, triples):
+    return spark.createDataFrame(
+        [(s, d, int(n)) for s, d, n in triples],
+        "src_host string, dst_host string, n_links long",
+    )
+
+
+def _np_hits(triples, iterations):
+    """Textbook weighted HITS with L1 normalization, numpy reference."""
+    import numpy as np
+
+    hosts = sorted({s for s, _, _ in triples} | {d for _, d, _ in triples})
+    idx = {h: i for i, h in enumerate(hosts)}
+    w = np.zeros((len(hosts), len(hosts)))
+    for s, d, n in triples:
+        w[idx[s], idx[d]] += n
+    hub = np.ones(len(hosts))
+    auth = np.ones(len(hosts))
+    for _ in range(iterations):
+        auth = w.T @ hub
+        tot = auth.sum()
+        auth = auth / tot if tot else auth * 0.0
+        hub = w @ auth
+        tot = hub.sum()
+        hub = hub / tot if tot else hub * 0.0
+    return {h: (hub[idx[h]], auth[idx[h]]) for h in hosts}
+
+
+def test_hits_matches_numpy_weighted(spark):
+    from docling_japanese_books_spark.operators.linkgraph import host_hits
+
+    triples = [
+        ("hub1", "authA", 3),
+        ("hub1", "authB", 1),
+        ("hub2", "authA", 2),
+        ("authA", "hub1", 1),   # back-link: nothing forces bipartite
+        ("hub2", "dangling", 1),
+        ("isolated_src", "hub2", 1),
+    ]
+    got = {
+        r.host: (r.hub, r.authority)
+        for r in host_hits(_edges_df(spark, triples), iterations=3).collect()
+    }
+    want = _np_hits(triples, 3)
+    assert set(got) == set(want)
+    for h in want:
+        assert abs(got[h][0] - want[h][0]) < 1e-12, h
+        assert abs(got[h][1] - want[h][1]) < 1e-12, h
+    # the pure source has authority exactly 0, the pure sink hub exactly 0
+    assert got["isolated_src"][1] == 0.0
+    assert got["dangling"][0] == 0.0
+
+
+def test_hits_hub_authority_separation(spark):
+    """A star: one page linking to many targets must be the top hub,
+    the most-linked target the top authority — the signal PageRank's
+    single score cannot separate."""
+    from docling_japanese_books_spark.operators.linkgraph import host_hits
+
+    triples = [("directory", f"site{i}", 1) for i in range(5)] + [
+        ("other", "site0", 2)
+    ]
+    got = {
+        r.host: (r.hub, r.authority)
+        for r in host_hits(_edges_df(spark, triples), iterations=2).collect()
+    }
+    top_hub = max(got, key=lambda h: got[h][0])
+    top_auth = max(got, key=lambda h: got[h][1])
+    assert top_hub == "directory"
+    assert top_auth == "site0"
+
+
+def test_hits_checkpoint_mode_matches_plain(spark):
+    """Truncation cadence never changes values: pure-lazy (0) vs the
+    default every-iteration truncation at 1 iteration (the lazy plan is
+    exponential in sweep count — see the operator docstring — so the
+    plain arm stays at 1), and cadence 1 vs 2 at 4 iterations."""
+    from docling_japanese_books_spark.operators.linkgraph import host_hits
+
+    triples = [("a", "b", 2), ("b", "c", 1), ("c", "a", 1), ("a", "c", 3)]
+    edges = _edges_df(spark, triples)
+
+    def run(iters, every):
+        return {
+            r.host: (r.hub, r.authority)
+            for r in host_hits(
+                edges, iterations=iters, checkpoint_every=every
+            ).collect()
+        }
+
+    assert run(1, 0) == run(1, 1)
+    assert run(4, 1) == run(4, 2)
+
+
+def test_hits_empty_graph_all_zero(spark):
+    """A graph whose only edges carry weight 0 must read all-zero (the
+    normalization guard), never NaN or a divide-by-zero error."""
+    from docling_japanese_books_spark.operators.linkgraph import host_hits
+
+    got = host_hits(
+        _edges_df(spark, [("a", "b", 0)]), iterations=2
+    ).collect()
+    for r in got:
+        assert r.hub == 0.0 and r.authority == 0.0, r
