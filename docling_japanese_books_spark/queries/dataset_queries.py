@@ -351,3 +351,33 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_contaminated(docs, benchmark, n=5).select(
         "doc_id", "contaminated"
     )
+
+
+@query("doc_dsir_weights")
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
+    hashed unigram+bigram bucket models for a target slice (the first 50
+    documents, the same deterministic convention as doc_lm_quality) and
+    the full corpus, per-document importance log-weights, and the
+    deterministic Gumbel-top-100 selection flag. Rows-only: the feature
+    hashing, smoothed log-probabilities, weights, and the Gumbel draw
+    are each replayed exactly (1e-9/1e-12) by an independent Python
+    reference in tests/test_dsir.py — stricter than a 6-dp value hash."""
+    from ..operators.dsir import dsir_select, dsir_weights, ngram_logprob_model
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") < 50)
+    tm = ngram_logprob_model(target, buckets=4096)
+    rm = ngram_logprob_model(docs, buckets=4096)
+    scored = dsir_weights(docs, tm, rm, buckets=4096)
+    sel = dsir_select(scored, 100).select(
+        "doc_id", F.lit(True).alias("_sel")
+    )
+    return (
+        scored.join(sel, "doc_id", "left")
+        .select(
+            "doc_id",
+            r6(F.col("log_weight")).alias("log_weight"),
+            F.coalesce(F.col("_sel"), F.lit(False)).alias("selected"),
+        )
+    )
