@@ -1615,3 +1615,39 @@ def doc_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "soft_score",
         "keep",
     )
+
+
+@query("emb_bitext_mining")
+def emb_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/bitext.py — the CCMatrix /
+    WikiMatrix ratio-margin recipe for harvesting translation pairs from
+    two monolingual embedding spaces). Source side: the first 40
+    embeddings; target side: planted "translations" of the first 20
+    (additively perturbed copies, the registry's standard known-positive
+    construction) plus 20 unrelated embeddings as junk. Mutual-best
+    mining at k=4 must pair every planted twin with its source; the
+    ratio-margin semantics are replayed exactly (kNN lists, avgNN
+    denominators, rounded margins, window-free argmax, mutual rule) by
+    the numpy reference in tests/test_bitext.py. Rows-only."""
+    from ..operators.bitext import margin_knn_mine
+
+    emb = t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    src = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("src_id"), as_double.alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000).alias("tgt_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.01).alias(
+            "embedding"
+        ),
+    )
+    junk = emb.filter(
+        (F.col("vec_id") >= 50) & (F.col("vec_id") < 70)
+    ).select(
+        (F.col("vec_id") + 2000).alias("tgt_id"), as_double.alias("embedding")
+    )
+    tgt = twins.unionByName(junk)
+    return margin_knn_mine(src, tgt, k=4, threshold=1.0).select(
+        "src_id", "tgt_id", "score", "margin"
+    )
