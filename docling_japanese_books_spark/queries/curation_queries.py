@@ -1651,3 +1651,32 @@ def emb_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_knn_mine(src, tgt, k=4, threshold=1.0).select(
         "src_id", "tgt_id", "score", "margin"
     )
+
+
+@query("doc_url_seen_bloom")
+def doc_url_seen_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter seen-set (operators/bloom.py — the Dolma-style
+    crawl-frontier membership primitive): build the filter from the
+    first 300 synthesized page URLs in one bit_or aggregation, probe
+    every URL against it, and report the verdict. Inserted URLs must all
+    read maybe_seen (the no-false-negative contract); fresh ones read
+    false except for the configured false-positive rate. Rows-only: the
+    md5 double-hashing bit pattern is replayed BIT-EXACTLY by the Python
+    reference in tests/test_bloom.py, along with the merge algebra and
+    the theoretical fp rate."""
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 31).cast("string"),
+        F.lit(".example/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    seen = bloom_build(
+        pages.filter(F.col("doc_id") < 300), m_bits=1 << 16, k_hashes=5
+    )
+    return bloom_probe(
+        pages, seen, m_bits=1 << 16, k_hashes=5
+    ).select("doc_id", "url", "maybe_seen")
