@@ -94,10 +94,13 @@ def cmd_curate(args) -> int:
 
     spark = get_spark("cli-curate")
     extracted = spark.read.parquet(args.input)
+    split_csv = lambda s: tuple(x for x in s.split(",") if x)  # noqa: E731
     curated, report = curate_corpus(
         extracted,
         min_quality=args.min_quality,
         near_dup_threshold=args.near_dup,
+        url_blocked_domains=split_csv(args.url_block_domains),
+        url_blocked_subwords=split_csv(args.url_block_subwords),
         gopher=args.gopher,
         gopher_repetition=args.gopher_repetition,
         c4=args.c4,
@@ -111,6 +114,8 @@ def cmd_curate(args) -> int:
         f"exact_dedup={report.rows_after_exact_dedup} "
         f"near_dedup={report.rows_after_near_dedup}"
     )
+    if report.rows_url_pass is not None:
+        line += f" url_pass={report.rows_url_pass}"
     if report.rows_c4_pass is not None:
         line += f" c4_pass={report.rows_c4_pass}"
     if report.rows_gopher_pass is not None:
@@ -190,6 +195,14 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("-o", "--output", required=True)
     cu.add_argument("--min-quality", type=float, default=0.3)
     cu.add_argument("--near-dup", type=float, default=0.85)
+    cu.add_argument(
+        "--url-block-domains", default="",
+        help="comma-separated blocked domains (matched by host AND eTLD+1)",
+    )
+    cu.add_argument(
+        "--url-block-subwords", default="",
+        help="comma-separated substrings that block a URL outright",
+    )
     cu.add_argument(
         "--gopher", action="store_true",
         help="also require every Gopher heuristic rule to pass",

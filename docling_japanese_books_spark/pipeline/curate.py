@@ -2,6 +2,9 @@
 raw extracted pages into an LLM-training-ready corpus.
 
     extracted pages
+      -> optional URL gate (operators/urlfilter.py — UT1-style domain
+         blocklist + blocked subwords + soft-word score; runs BEFORE any
+         text stage so blocked pages never pay the normalize UDF)
       -> NFKC normalization (X12)
       -> optional C4 line/page cleaning (operators/c4.py — rewrites text
          to the retained lines, drops failing pages)
@@ -42,6 +45,7 @@ class CurationReport:
     rows_after_exact_dedup: int
     rows_after_near_dedup: int
     # optional stages (None = stage not enabled)
+    rows_url_pass: "int | None" = None
     rows_c4_pass: "int | None" = None
     rows_gopher_pass: "int | None" = None
     rows_model_quality_pass: "int | None" = None
@@ -62,6 +66,10 @@ def curate_corpus(
     near_dup_threshold: float = 0.85,
     url_col: str = "url",
     text_col: str = "text",
+    url_blocked_domains=None,
+    url_blocked_subwords=(),
+    url_soft_words=None,
+    url_soft_threshold: float = 2.0,
     gopher: bool = False,
     gopher_repetition: bool = False,
     c4: bool = False,
@@ -81,6 +89,40 @@ def curate_corpus(
     action — the scale-killer at 100 TB). The returned frame is persisted
     and already materialized, so writing it does not recompute the pipeline.
     At cluster scale, substitute a checkpoint/table write for .persist()."""
+    # optional stage 0 — the URL gate. Pure column algebra + broadcast
+    # blocklist joins over the RAW input, ahead of every Python stage:
+    # a page a nanosecond URL check kills must never pay the normalize
+    # UDF (the accumulator pin asserts exactly that). Costs one extra
+    # map-only, url-column-pruned scan of the source for the in/pass
+    # counts — nothing else reads the unfiltered input.
+    rows_url = None
+    url_rows_in = None
+    if url_blocked_domains or url_blocked_subwords or url_soft_words:
+        from ..operators.urlfilter import url_filter_verdicts
+
+        verdicts = url_filter_verdicts(
+            extracted,
+            blocked_domains=url_blocked_domains or (),
+            blocked_subwords=url_blocked_subwords,
+            soft_words=url_soft_words,
+            soft_threshold=url_soft_threshold,
+            url_col=url_col,
+        )
+        counts = verdicts.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0)).alias(
+                "k"
+            ),
+        ).collect()[0]
+        url_rows_in, rows_url = int(counts.n), int(counts.k)
+        extracted = verdicts.filter(F.col("keep")).drop(
+            "host",
+            "etld1",
+            "domain_blocked",
+            "subword_blocked",
+            "soft_score",
+            "keep",
+        )
     normalized = extracted.withColumn(text_col, normalize_cjk_udf(F.col(text_col)))
     # optional C4 cleaning (operators/c4.py): pure column algebra over the
     # normalized text, so it folds into the same persisted stage — text is
@@ -260,7 +302,10 @@ def curate_corpus(
         model_scored.unpersist()
 
     report = CurationReport(
-        rows_in=int(head.rows_in),
+        # with the URL gate on, rows_in is the PRE-gate count (the head
+        # aggregate only ever sees gate survivors)
+        rows_in=url_rows_in if url_rows_in is not None else int(head.rows_in),
+        rows_url_pass=rows_url,
         rows_quality_pass=int(head.rows_quality),
         rows_c4_pass=int(head.rows_c4) if c4 else None,
         rows_gopher_pass=(

@@ -303,3 +303,68 @@ def test_curation_gopher_repetition_gate(spark):
     )
     assert rep.rows_gopher_pass == 1
     assert [r.url for r in curated.collect()] == ["https://clean/1"]
+
+
+def test_url_gate_blocks_before_normalize(spark, monkeypatch):
+    """Stage-0 wiring: URL-blocked pages never reach the normalize UDF
+    (the whole point of a URL gate at 100 TB — the accumulator counts
+    exactly one normalize call per URL SURVIVOR), and the report carries
+    the pre-gate rows_in plus rows_url_pass."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+    from docling_japanese_books_spark.operators.normalize import normalize_cjk
+    from docling_japanese_books_spark.pipeline import curate as curate_mod
+
+    calls = spark.sparkContext.accumulator(0)
+
+    def _counting(texts):
+        calls.add(len(texts))
+        return texts.map(lambda t: normalize_cjk(t) if t is not None else None)
+
+    _counting.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    monkeypatch.setattr(
+        curate_mod, "normalize_cjk_udf", F.pandas_udf(_counting, T.StringType())
+    )
+
+    rows = [
+        (f"https://spam.example/casino/{i}", GOOD + f" blocked {i}", "en")
+        for i in range(8)
+    ] + [
+        (f"https://ok.example/a/{i}", GOOD + f" kept {i}", "en")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    curated, report = curate_mod.curate_corpus(
+        df,
+        min_quality=0.0,
+        min_chars=1,
+        url_blocked_domains=["spam.example"],
+    )
+    assert report.rows_in == 20
+    assert report.rows_url_pass == 12
+    assert calls.value == 12, f"normalize ran {calls.value}x for 12 survivors"
+    assert curated.filter(F.col("url").contains("spam.example")).count() == 0
+    # the gate's verdict columns never leak into the curated schema
+    assert "domain_blocked" not in curated.columns
+    assert "keep" not in curated.columns
+
+
+def test_url_gate_soft_words_and_report_line(spark):
+    """Soft-word scoring reaches the gate through curate's kwargs, and a
+    disabled gate leaves rows_url_pass None."""
+    rows = [
+        ("https://x.example/casino/bet/1", GOOD + " one", "en"),
+        ("https://x.example/news/2", GOOD + " two", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    _, gated = curate_corpus(
+        df,
+        min_quality=0.0,
+        min_chars=1,
+        url_soft_words={"casino": 1.0, "bet": 1.5},
+        url_soft_threshold=2.0,
+    )
+    assert gated.rows_in == 2 and gated.rows_url_pass == 1
+    _, plain = curate_corpus(df, min_quality=0.0, min_chars=1)
+    assert plain.rows_url_pass is None and plain.rows_in == 2
