@@ -1,0 +1,150 @@
+"""Perceptual image hashing for image-level near-dup detection — the
+multimodal counterpart of text simhash. A web crawl's image corpus is
+full of the SAME image under different bytes (re-encoded thumbnails,
+format transcodes, quality levels, metadata strips); byte/sha dedup
+misses all of it, and training pipelines dedup images perceptually for
+the same reason they dedup text lexically.
+
+``dhash64`` is the classic difference hash: grayscale -> area-mean
+downsample onto an 8 x 9 grid -> 64 sign bits of horizontal neighbour
+differences. Properties the tests pin:
+
+- invariant to global brightness shifts (differences cancel the
+  offset) and to FORMAT transcodes (PNG/TIFF/GIF of the same pixels
+  hash identically — exercised with this repo's own pure-Python
+  codecs, not mocks);
+- small pixel perturbations flip few bits (hamming-near), unrelated
+  images land ~32 bits apart (the 64-bit coin-flip expectation).
+
+Scale shape: hashing is one Arrow stage over the payload column with
+per-row corruption isolation (null hash, never a task failure —
+the ``extract_image_features`` contract); pairing reuses
+``operators.dedup.hamming_near_dups``, the pigeonhole banding join
+that never goes cartesian. End to end: hash (map-only) -> banding
+shuffle on (chunk, value) — the simhash plan, applied to pixels.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .png_codec import PNG_SIGNATURE, png_to_pixels
+
+
+def _decode_pixels(payload: bytes) -> np.ndarray:
+    """Pixel array from bytes by signature dispatch — the same format
+    set as images.decode_image_real, returning pixels instead of
+    features. ValueError on anything unrecognized/corrupt."""
+    if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+        return png_to_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg_codec import jpeg_to_pixels
+
+        return jpeg_to_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif_codec import gif_to_pixels
+
+        return gif_to_pixels(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff_codec import tiff_to_pixels
+
+        return tiff_to_pixels(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp_codec import webp_to_pixels
+
+        return webp_to_pixels(payload)
+    raise ValueError("unrecognized image signature")
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash of an (H, W) or (H, W, 3) uint8-ish array:
+    row-major, MSB first, bit set iff cell[r][c+1] > cell[r][c] on the
+    8 x 9 area-mean grid. Returned as a SIGNED 64-bit value (bit 63
+    wraps negative) so it stores losslessly in a Spark long."""
+    a = np.asarray(pixels, dtype=np.float64)
+    if a.ndim == 3:
+        a = a @ np.array([0.299, 0.587, 0.114])
+    if a.ndim != 2 or a.size == 0:
+        raise ValueError("dhash64 needs a non-empty 2D/3D pixel array")
+    # tiny inputs: nearest-neighbour upscale so every grid cell is
+    # non-empty (integer-edge bounds would otherwise repeat)
+    if a.shape[0] < 8:
+        a = np.repeat(a, -(-8 // a.shape[0]), axis=0)
+    if a.shape[1] < 9:
+        a = np.repeat(a, -(-9 // a.shape[1]), axis=1)
+    h, w = a.shape
+    integral = np.zeros((h + 1, w + 1))
+    integral[1:, 1:] = a.cumsum(0).cumsum(1)
+    rb = (np.arange(9) * h) // 8    # 9 row edges  -> 8 bands
+    cb = (np.arange(10) * w) // 9   # 10 col edges -> 9 bands
+    sums = (
+        integral[rb[1:, None], cb[None, 1:]]
+        - integral[rb[:-1, None], cb[None, 1:]]
+        - integral[rb[1:, None], cb[None, :-1]]
+        + integral[rb[:-1, None], cb[None, :-1]]
+    )
+    areas = (rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :]
+    cells = sums / areas
+    bits = (cells[:, 1:] > cells[:, :-1]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(
+    images: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decode_pixels: "Callable[[bytes], np.ndarray] | None" = None,
+) -> DataFrame:
+    """(id_col, dhash) per image — one Arrow stage, per-row isolation
+    (undecodable payloads hash to null and silently leave the near-dup
+    candidate pool, mirroring extract_image_features)."""
+    decode = decode_pixels or _decode_pixels
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    h = dhash64(decode(bytes(payload)))
+                except Exception:
+                    h = None
+                ids.append(int(i))
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="Int64"),
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return images.select(id_col, payload_col).mapInPandas(
+        op, f"{id_col} long, dhash long"
+    )
+
+
+def image_near_dups(
+    images: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    decode_pixels: "Callable[[bytes], np.ndarray] | None" = None,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: ``(id_a, id_b, hamming)``
+    with hamming(dhash) <= max_hamming — hash once, then the pigeonhole
+    banding join (operators/dedup.py) on the 64-bit signatures."""
+    from ..operators.dedup import hamming_near_dups
+
+    sigs = image_dhash(
+        images, payload_col=payload_col, id_col=id_col,
+        decode_pixels=decode_pixels,
+    )
+    return hamming_near_dups(
+        sigs, hash_col="dhash", id_col=id_col, max_hamming=max_hamming
+    )

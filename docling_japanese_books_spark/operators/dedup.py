@@ -388,19 +388,37 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming.
+    """Near-dup pairs with hamming(simhash) <= max_hamming: compute the
+    text simhash, then the generic 64-bit hamming banding join."""
+    sigs = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim"))
+    return hamming_near_dups(
+        sigs, hash_col="sim", id_col=id_col, max_hamming=max_hamming
+    )
+
+
+def hamming_near_dups(
+    sigs: DataFrame,
+    hash_col: str = "sim",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs of 64-bit signatures within ``max_hamming``, for ANY
+    signature column (text simhash, image dhash, audio fingerprint).
 
     Candidate generation by pigeonhole banding: split the 64-bit signature
     into ``max_hamming + 1`` chunks; a pair within the hamming bound can
     differ in at most ``max_hamming`` chunks, so it must agree on at least
     one — the join key is (chunk_idx, chunk_value), never a cross join.
     The chunk count is DERIVED from the bound (a fixed 4-chunk split only
-    guarantees recall for hamming <= 3). Output: (id_a, id_b, hamming)."""
+    guarantees recall for hamming <= 3). Null signatures (decode failures)
+    drop out of candidate generation. Output: (id_a, id_b, hamming)."""
     n_chunks = max_hamming + 1
     if not 1 <= n_chunks <= 64:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     width = 64 // n_chunks  # last chunk absorbs the remainder bits
-    sigs = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim"))
+    sigs = sigs.select(
+        F.col(id_col), F.col(hash_col).alias("sim")
+    ).filter(F.col("sim").isNotNull())
 
     def chunk_val(i: int) -> Column:
         w = 64 - i * width if i == n_chunks - 1 else width

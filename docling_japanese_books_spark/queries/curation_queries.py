@@ -1680,3 +1680,37 @@ def doc_url_seen_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_probe(
         pages, seen, m_bits=1 << 16, k_hashes=5
     ).select("doc_id", "url", "maybe_seen")
+
+
+@query("image_dhash_near_dups")
+def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup detection (multimodal/phash.py): 100
+    deterministic random images are synthesized as 50 TRANSCODE TWINS —
+    docs 2k and 2k+1 carry the same pixels, one encoded as a real PNG
+    and one as a real TIFF (this repo's own pure-Python codecs) — then
+    dhash64 + the pigeonhole hamming banding join must pair exactly the
+    twins at hamming 0 (unrelated random images sit ~32 bits apart).
+    Rows-only: the hash bits, invariances, and the banding join recall
+    are pinned by tests/test_phash.py."""
+    from ..multimodal.phash import image_near_dups
+    from ..multimodal.png_codec import pixels_to_png
+    from ..multimodal.tiff_codec import pixels_to_tiff
+
+    @F.pandas_udf(T.BinaryType())
+    def make_image(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            px = np.random.RandomState(d // 2).randint(
+                0, 256, (24, 27), dtype=np.uint8
+            )
+            out.append(
+                pixels_to_png(px) if d % 2 == 0 else pixels_to_tiff(px)
+            )
+        return pd.Series(out)
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    images = docs.select("doc_id", make_image(F.col("doc_id")).alias("payload"))
+    return image_near_dups(images, max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    )
