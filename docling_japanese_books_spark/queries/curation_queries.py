@@ -1714,3 +1714,48 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dups(images, max_hamming=3).select(
         "id_a", "id_b", "hamming"
     )
+
+
+@query("audio_afp_near_dups")
+def audio_afp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup detection (multimodal/afp.py): 60 real
+    PCM-16 WAV payloads synthesized as 30 VOLUME TWINS — docs 2k and
+    2k+1 carry the same deterministic broadband clip at full and half
+    amplitude (volume scaling is exactly sign-preserving on the band
+    energies, so twins fingerprint hamming-0..4 after int16 rounding) —
+    then afp64 + the banding join must pair the twins while unrelated
+    clips stay >= 16 bits apart. Rows-only: invariances, separation,
+    and the silence/stereo edge cases are pinned by tests/test_afp.py."""
+    from ..multimodal.wav_codec import samples_to_wav
+
+    @F.pandas_udf(T.BinaryType())
+    def make_wav(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            seed, n = d // 2, 4000
+            rng = np.random.RandomState(seed)
+            m = n // 2 + 1
+            k = np.arange(m)
+            mag = (1.0 + k / 40.0) ** -1.5 * (
+                1.0 + 0.8 * np.sin(2 * np.pi * k / 37.0 + seed)
+            )
+            spec = mag * np.exp(1j * rng.uniform(0, 2 * np.pi, m))
+            spec[0] = 0
+            x = np.fft.irfft(spec, n)
+            t = np.arange(n) / n
+            x = x * (1.0 + 0.6 * np.sin(2 * np.pi * (3 + seed % 3) * t))
+            x = x / np.abs(x).max() * (0.5 if d % 2 == 0 else 0.25)
+            samples = np.clip(
+                np.round(x * 32767.0), -32768, 32767
+            ).astype(np.int16)
+            out.append(samples_to_wav(samples, 8000))
+        return pd.Series(out)
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    audio = docs.select("doc_id", make_wav(F.col("doc_id")).alias("payload"))
+    from ..multimodal.afp import audio_near_dups
+
+    return audio_near_dups(audio, max_hamming=6).select(
+        "id_a", "id_b", "hamming"
+    )
