@@ -434,3 +434,92 @@ def test_window_hash_slicing_algebra(text, L, data):
     i = data.draw(st.integers(0, n - 1))
     s1, s2 = _window_hashes(text[i : i + L], L)
     assert (h1[i], h2[i]) == (s1[0], s2[0])
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    shift=st.integers(min_value=1, max_value=40),
+    scale_exp=st.integers(min_value=-3, max_value=3),
+)
+def test_dhash_affine_invariance_property(h, w, seed, shift, scale_exp):
+    """dhash64 is invariant under any non-clipping affine pixel map
+    a*px + b with a > 0 (area means are linear; only difference SIGNS
+    enter), on ANY shape — including tiny inputs that hit the upscale
+    path — and always fits a signed 64-bit long. The multiplicative leg
+    uses powers of two: scaling integer pixels by 2^k keeps every cell
+    sum EXACT, so even tied cells (constant regions, upscale-duplicated
+    pixels) compare identically; an inexact factor can flip a tie by an
+    ulp — real pixel data is integer, so that's a fixture artifact, not
+    an operator contract."""
+    scale = 2.0 ** scale_exp
+    import numpy as np
+
+    from docling_japanese_books_spark.multimodal.phash import dhash64
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 200, (h, w)).astype(np.float64)
+    base = dhash64(px)
+    assert -(1 << 63) <= base < (1 << 63)
+    assert dhash64(px + shift) == base
+    assert dhash64(px * scale) == base
+    assert dhash64(px * scale + shift) == base
+    # grayscale equals the RGB stack of itself (luma of equal channels)
+    assert dhash64(np.stack([px, px, px], axis=-1)) == base
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    vol=st.floats(min_value=0.01, max_value=100.0),
+)
+def test_afp_volume_invariance_property(n, seed, vol):
+    """afp64 is EXACTLY invariant under positive volume scaling for any
+    sample array (energies scale by vol^2, comparisons see only signs),
+    any length including the zero-pad path, and mixes duplicated stereo
+    channels down to the mono fingerprint."""
+    import numpy as np
+
+    from docling_japanese_books_spark.multimodal.afp import afp64
+
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n)
+    base = afp64(x)
+    assert -(1 << 63) <= base < (1 << 63)
+    assert afp64(x * vol) == base
+    assert afp64(np.stack([x, x], axis=1)) == base
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    keys=st.lists(st.text(max_size=30), min_size=1, max_size=60),
+    m_exp=st.integers(min_value=7, max_value=20),
+    k=st.integers(min_value=1, max_value=10),
+)
+def test_bloom_positions_python_reference_property(keys, m_exp, k):
+    """The Python reference of the Bloom construction (the one the Spark
+    parity test pins against) is itself well-formed for ANY key set and
+    sizing: k positions per key, each in [0, m), stride always odd, and
+    membership of every inserted key holds in the reference bitmap —
+    the no-false-negative contract at the algebra level."""
+    import hashlib
+
+    m = 1 << m_exp
+    words: dict[int, int] = {}
+    all_pos: dict[str, list[int]] = {}
+    for key in keys:
+        d = hashlib.md5(str(key).encode()).hexdigest()
+        h1 = int(d[0:15], 16) % m
+        h2 = (int(d[16:31], 16) % m) | 1
+        assert h2 % 2 == 1
+        pos = [(h1 + i * h2) % m for i in range(k)]
+        assert all(0 <= p < m for p in pos)
+        all_pos[key] = pos
+        for p in pos:
+            words[p // 64] = words.get(p // 64, 0) | (1 << (p % 64))
+    for key in keys:
+        for p in all_pos[key]:
+            assert words[p // 64] & (1 << (p % 64))
