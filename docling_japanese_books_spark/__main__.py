@@ -101,6 +101,10 @@ def cmd_curate(args) -> int:
         near_dup_threshold=args.near_dup,
         url_blocked_domains=split_csv(args.url_block_domains),
         url_blocked_subwords=split_csv(args.url_block_subwords),
+        dsir_target=(
+            spark.read.parquet(args.dsir_target) if args.dsir_target else None
+        ),
+        dsir_keep=args.dsir_keep,
         gopher=args.gopher,
         gopher_repetition=args.gopher_repetition,
         c4=args.c4,
@@ -130,6 +134,8 @@ def cmd_curate(args) -> int:
             f" chars_removed={report.substring_chars_removed}"
             f" substring_path={report.substring_path}"
         )
+    if report.rows_after_dsir is not None:
+        line += f" dsir_kept={report.rows_after_dsir}"
     print(line)
     return 0
 
@@ -202,6 +208,15 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--url-block-subwords", default="",
         help="comma-separated substrings that block a URL outright",
+    )
+    cu.add_argument(
+        "--dsir-target", default=None,
+        help="parquet path of a target corpus (url, text) — enables the "
+             "final DSIR selection stage toward its distribution",
+    )
+    cu.add_argument(
+        "--dsir-keep", type=int, default=None,
+        help="how many survivors DSIR keeps (required with --dsir-target)",
     )
     cu.add_argument(
         "--gopher", action="store_true",

@@ -18,6 +18,9 @@ raw extracted pages into an LLM-training-ready corpus.
       -> optional ExactSubstr cut (Lee et al. window rule: duplicated
          >=min_len-char spans removed, first corpus occurrence survives;
          adaptive prefilter + single anchor pass via checkpoint)
+      -> optional DSIR selection (operators/dsir.py: Gumbel-top-k over
+         importance log-weights toward a target corpus — last, so it
+         selects from clean, deduped text)
       -> curated corpus + per-stage survival report
 
 Every stage is a DataFrame transform; the report is a tiny aggregate over
@@ -57,6 +60,7 @@ class CurationReport:
     # which path ran ("prefilter" | "bare")
     substring_candidate_fraction: "float | None" = None
     substring_path: "str | None" = None
+    rows_after_dsir: "int | None" = None
 
 
 def curate_corpus(
@@ -79,6 +83,9 @@ def curate_corpus(
     substring_adaptive: "float | None" = 0.5,
     semantic_tau: "float | None" = None,
     semantic_clusters: int = 8,
+    dsir_target: "DataFrame | None" = None,
+    dsir_keep: "int | None" = None,
+    dsir_buckets: int = 4096,
 ) -> tuple[DataFrame, CurationReport]:
     """Returns (curated corpus, survival report). Deterministic: survivors
     of each dedup stage are the minimum-url member of every duplicate set.
@@ -297,6 +304,39 @@ def curate_corpus(
         curated.unpersist()
         curated = final
 
+    # optional DSIR selection (Xie et al. 2023): keep the dsir_keep
+    # survivors whose hashed-n-gram distribution looks most like the
+    # TARGET corpus, by Gumbel-top-k over importance log-weights — runs
+    # LAST so it selects from already-clean, already-deduped text (the
+    # published order: filter, dedup, then select toward the target).
+    # The two bucket models are <= dsir_buckets rows and broadcast; the
+    # weight pass is one id shuffle over the survivors.
+    rows_dsir = None
+    if dsir_target is not None and dsir_keep is not None:
+        from ..operators.dsir import (
+            dsir_select,
+            dsir_weights,
+            ngram_logprob_model,
+        )
+
+        tm = ngram_logprob_model(
+            dsir_target, text_col=text_col, buckets=dsir_buckets
+        )
+        rm = ngram_logprob_model(
+            curated, text_col=text_col, buckets=dsir_buckets
+        )
+        scored_w = dsir_weights(
+            curated, tm, rm, id_col=url_col, text_col=text_col,
+            buckets=dsir_buckets,
+        )
+        picked = dsir_select(
+            scored_w, dsir_keep, id_col=url_col
+        ).select(url_col, "log_weight")
+        sel = curated.join(picked, url_col).persist()
+        rows_dsir = sel.count()
+        curated.unpersist()
+        curated = sel
+
     scored.unpersist()  # curated is materialized; upstream caches can go
     if model_scored is not None:
         model_scored.unpersist()
@@ -319,5 +359,6 @@ def curate_corpus(
         substring_chars_removed=chars_removed,
         substring_candidate_fraction=substr_stats.get("candidate_fraction"),
         substring_path=substr_stats.get("path"),
+        rows_after_dsir=rows_dsir,
     )
     return curated, report

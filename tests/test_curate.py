@@ -368,3 +368,41 @@ def test_url_gate_soft_words_and_report_line(spark):
     assert gated.rows_in == 2 and gated.rows_url_pass == 1
     _, plain = curate_corpus(df, min_quality=0.0, min_chars=1)
     assert plain.rows_url_pass is None and plain.rows_in == 2
+
+
+def test_dsir_stage_selects_target_like_survivors(spark):
+    """The optional final DSIR stage keeps the dsir_keep survivors most
+    like the target corpus: plant 4 target-like docs among 8 junk docs,
+    ask for 4 — exactly the planted ones survive, the report says so,
+    and log_weight rides the curated output."""
+    target = spark.createDataFrame(
+        [("t", "the merchant ships returned to the harbour at dusk " * 20)],
+        "url string, text string",
+    )
+    phrase = "the merchant ships returned to the harbour at dusk "
+    rows = [
+        (f"https://keep.example/{i}", phrase * 6, "en") for i in range(4)
+    ] + [
+        (
+            f"https://junk.example/{j}",
+            f"zorp{j} quux{j} blargh{j} wibble{j} frob{j} " * 6,
+            "en",
+        )
+        for j in range(8)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    curated, report = curate_corpus(
+        df,
+        min_quality=0.0,
+        min_chars=1,
+        near_dup_threshold=0.99,  # the 4 planted twins must survive dedup
+        dsir_target=target,
+        dsir_keep=4,
+    )
+    # exact dedup collapses the 4 identical planted docs to ONE (lowest
+    # url) — so selection sees 1 target-like + 8 junk and must put the
+    # target-like doc in its top-4
+    kept = {r.url for r in curated.collect()}
+    assert "https://keep.example/0" in kept
+    assert report.rows_after_dsir == 4
+    assert "log_weight" in curated.columns
