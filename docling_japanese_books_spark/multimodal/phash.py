@@ -88,7 +88,12 @@ def dhash64(pixels: np.ndarray) -> int:
         + integral[rb[:-1, None], cb[None, :-1]]
     )
     areas = (rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :]
-    cells = sums / areas
+    # 6-dp rounding (the repo-wide tie discipline) before the sign
+    # comparisons: the integral-image cumsum rounds differently per
+    # cell for NON-INTEGER pixel values (the luma projection makes even
+    # a constant image non-integer), so exactly-tied regions would
+    # otherwise split on ulp noise and a flat image could hash nonzero
+    cells = np.round(sums / areas, 6)
     bits = (cells[:, 1:] > cells[:, :-1]).flatten()
     v = 0
     for b in bits:
