@@ -31,6 +31,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .png_codec import PNG_SIGNATURE, png_to_pixels
 
@@ -152,4 +153,92 @@ def image_near_dups(
     )
     return hamming_near_dups(
         sigs, hash_col="dhash", id_col=id_col, max_hamming=max_hamming
+    )
+
+
+def video_frame_hashes(
+    videos: DataFrame,
+    n_frames: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, frame_idx, dhash): dhash64 of up to ``n_frames`` evenly
+    sampled frames per uncompressed-AVI payload (multimodal/avi_codec —
+    real pixels), one Arrow stage, undecodable payloads contributing no
+    rows. ``n_frames`` caps at 64 so a frame index packs into the
+    composite key ``video_near_dups`` builds."""
+    if not 1 <= n_frames <= 64:
+        raise ValueError(f"n_frames must be in [1, 64], got {n_frames}")
+
+    from .avi_codec import avi_to_frames
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames, _fps = avi_to_frames(bytes(payload))
+                except Exception:
+                    continue
+                n = frames.shape[0]
+                if n == 0:
+                    continue
+                # evenly spaced picks; a short clip dedupes to its n frames
+                for fi, frame_i in enumerate(sorted({(k * n) // n_frames for k in range(n_frames)})):
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    hashes.append(dhash64(frames[frame_i]))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return videos.select(id_col, payload_col).mapInPandas(
+        op, f"{id_col} long, frame_idx int, dhash long"
+    )
+
+
+def video_near_dups(
+    videos: DataFrame,
+    n_frames: int = 8,
+    max_hamming: int = 3,
+    min_matching_frames: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate video pairs ``(id_a, id_b, n_frame_matches)``:
+    two videos pair when at least ``min_matching_frames`` of their
+    sampled frames are dhash-hamming-near — POSITION-FREE matching (any
+    frame of A against any frame of B), the standard video-copy-
+    detection choice because a trimmed or re-cut copy shifts every
+    frame index while the frames themselves survive.
+
+    Plan: one frame-hash Arrow stage, then ONE banding join over ALL
+    frame rows (frame identity packs as ``video_id * 64 + frame_idx``
+    so the generic 64-bit machinery applies unchanged), then a grouped
+    count per video pair — same-video frame matches drop out, and the
+    threshold is an aggregate filter, never a second pass over
+    payloads."""
+    from ..operators.dedup import hamming_near_dups
+
+    sigs = video_frame_hashes(
+        videos, n_frames=n_frames, payload_col=payload_col, id_col=id_col
+    )
+    packed = sigs.select(
+        (F.col(id_col) * 64 + F.col("frame_idx")).alias("_fid"), "dhash"
+    )
+    frame_pairs = hamming_near_dups(
+        packed, hash_col="dhash", id_col="_fid", max_hamming=max_hamming
+    )
+    va = F.floor(F.col("id_a") / 64).cast("long")
+    vb = F.floor(F.col("id_b") / 64).cast("long")
+    return (
+        frame_pairs.select(va.alias("vid_a"), vb.alias("vid_b"))
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .groupBy(F.col("vid_a").alias("id_a"), F.col("vid_b").alias("id_b"))
+        .agg(F.count("*").alias("n_frame_matches"))
+        .filter(F.col("n_frame_matches") >= min_matching_frames)
     )

@@ -1759,3 +1759,36 @@ def audio_afp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dups(audio, max_hamming=6).select(
         "id_a", "id_b", "hamming"
     )
+
+
+@query("video_dhash_near_dups")
+def video_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level near-dup detection (multimodal/phash.py
+    video_near_dups): 40 real uncompressed AVIs synthesized as 20
+    brightness twins — docs 2k and 2k+1 carry the same deterministic
+    10-frame clip, one shifted +12 in every channel (dhash cancels the
+    shift per frame) — then per-frame dhash + the position-free banding
+    join must pair exactly the twins with all 8 sampled frames
+    matching. Rows-only: frame sampling, trim robustness, and the
+    threshold semantics are pinned by tests/test_phash.py."""
+    from ..multimodal.avi_codec import frames_to_avi
+    from ..multimodal.phash import video_near_dups
+
+    @F.pandas_udf(T.BinaryType())
+    def make_avi(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            frames = np.random.RandomState(d // 2).randint(
+                0, 244, (10, 16, 18, 3), dtype=np.uint8
+            )
+            if d % 2 == 1:
+                frames = (frames.astype(np.int32) + 12).astype(np.uint8)
+            out.append(frames_to_avi(frames))
+        return pd.Series(out)
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    videos = docs.select("doc_id", make_avi(F.col("doc_id")).alias("payload"))
+    return video_near_dups(
+        videos, n_frames=8, max_hamming=3, min_matching_frames=4
+    ).select("id_a", "id_b", "n_frame_matches")

@@ -103,3 +103,72 @@ def test_image_near_dups_plan_is_banded_equi_join(spark):
     assert "chunk" in plan and "cval" in plan, plan
     # candidate generation joins on (chunk, value) — never a cartesian
     assert "Cartesian" not in plan, plan
+
+
+def _avi(frames):
+    from docling_japanese_books_spark.multimodal.avi_codec import (
+        frames_to_avi,
+    )
+
+    return bytearray(frames_to_avi(np.asarray(frames, dtype=np.uint8)))
+
+
+def _vframes(seed, n=12, h=16, w=18):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, (n, h, w, 3), dtype=np.uint8)
+
+
+def test_video_frame_hashes_shape_and_isolation(spark):
+    from docling_japanese_books_spark.multimodal.phash import (
+        video_frame_hashes,
+    )
+
+    rows = [
+        (0, _avi(_vframes(1))),
+        (1, bytearray(b"not a riff")),
+        (2, _avi(_vframes(2, n=3))),  # fewer frames than n_frames
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = video_frame_hashes(df, n_frames=8).collect()
+    per_vid = {}
+    for r in got:
+        per_vid.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert sorted(per_vid[0]) == list(range(8))
+    assert 1 not in per_vid                      # corrupt: zero rows
+    assert sorted(per_vid[2]) == [0, 1, 2]       # short clip dedupes
+
+
+def test_video_near_dups_trim_and_brightness(spark):
+    """A brightness-shifted copy AND a re-cut (frames dropped from the
+    front) both pair with the original — position-free frame matching —
+    while an unrelated video never pairs."""
+    from docling_japanese_books_spark.multimodal.phash import (
+        video_near_dups,
+    )
+
+    base = _vframes(7)
+    bright = np.clip(base.astype(np.int32) + 12, 0, 255).astype(np.uint8)
+    rows = [
+        (0, _avi(base)),
+        (1, _avi(bright)),        # brightness twin, aligned
+        (2, _avi(base[3:])),      # trimmed re-cut: every index shifts
+        (3, _avi(_vframes(99))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r.id_a, r.id_b): r.n_frame_matches
+        for r in video_near_dups(
+            df, n_frames=8, max_hamming=3, min_matching_frames=4
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 8   # all sampled frames match
+    assert (0, 2) in got                         # survives the trim
+    assert all(3 not in pair for pair in got)
+    # a stricter threshold than any overlap silences the trimmed pair
+    strict = {
+        (r.id_a, r.id_b)
+        for r in video_near_dups(
+            df, n_frames=8, max_hamming=3, min_matching_frames=9
+        ).collect()
+    }
+    assert (0, 2) not in strict
