@@ -62,12 +62,36 @@ def token_count(col: Column) -> Column:
     )
 
 
+_ASCII_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_ASCII_DIGITS = "0123456789"
+# Java regex \s — exactly [ \t\n\x0B\f\r] (no Unicode flag), mirrored here
+# so the translate() arithmetic counts the same characters the original
+# regexp alternation did.
+_JAVA_WS = " \t\n\x0b\f\r"
+
+
 def bpe_ish_token_count(col: Column) -> Column:
     """BPE-ish subword proxy: count of word pieces + digits + punctuation
-    runs (a deterministic stand-in for a real tokenizer's token count)."""
-    return F.coalesce(
-        F.regexp_count(col, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")), F.lit(0)
-    )
+    runs (a deterministic stand-in for a real tokenizer's token count).
+
+    r8 (guide §2, per-task work): the original single alternation
+    ``[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]`` tried three branches at every
+    position of (mostly CJK) text. Identical count, cheaper plan:
+    - letter pieces: greedy ``[A-Za-z]{1,4}`` matches consume 4 chars at a
+      time, so the count is Σ ceil(run_len/4) — same as the alternation's
+      first branch, now a single-class regex that rejects CJK in one test;
+    - digit tokens = #digit chars, symbol tokens = #chars that are neither
+      letter/digit/Java-``\\s`` — both via ``translate()`` length deltas
+      (codegen'd charmap, no regex). Bit-equality with the regex form is
+      pinned by tests/test_textstats.py over the fixture corpus.
+    Measured at sf1.0 (32-way): 0.76 s -> 0.43 s for the projection."""
+    n = F.length(col)
+    letters = n - F.length(F.translate(col, _ASCII_LETTERS, ""))
+    digits = n - F.length(F.translate(col, _ASCII_DIGITS, ""))
+    ws = n - F.length(F.translate(col, _JAVA_WS, ""))
+    symbols = n - letters - digits - ws
+    letter_pieces = F.regexp_count(col, F.lit(r"[A-Za-z]{1,4}"))
+    return F.coalesce(letter_pieces + digits + symbols, F.lit(0))
 
 
 def quality_score(col: Column) -> Column:

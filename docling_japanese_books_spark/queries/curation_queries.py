@@ -19,7 +19,7 @@ from ..operators.dedup import (
 from ..operators.similarity import topk_bruteforce, topk_lsh
 from ..operators.textstats import bpe_ish_token_count, lang_id, quality_score
 from ..multimodal.images import extract_image_features, image_manifest
-from .relational import query, r6, t
+from .relational import fan, query, r6, t, tfan
 
 
 def _with_planted_near_dups(docs: DataFrame, n: int = 20) -> DataFrame:
@@ -41,7 +41,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs over documents + planted dups.
     Rows-only (hash-permutation specifics aren't SQL-expressible); recall
     on the planted pairs is pinned by tests/test_dedup.py."""
-    docs = _with_planted_near_dups(t(spark, sf_dir, "documents"))
+    # r8: fan AFTER the union (one exchange for both branches) so the
+    # signature UDF parallelizes — the single-row-group fixture otherwise
+    # computes every MinHash in two tasks (12.9 s -> 3.1 s for the
+    # signature pass at sf1.0); downstream banded joins are unchanged.
+    docs = fan(
+        spark, _with_planted_near_dups(t(spark, sf_dir, "documents")),
+        sf_dir, "documents", "doc_id", width=8,
+    )
     return minhash_lsh_candidates(docs, threshold=0.5).select(
         "id_a", "id_b", r6(F.col("est_jaccard")).alias("est_jaccard")
     )
@@ -50,7 +57,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) over documents + planted dups."""
-    docs = _with_planted_near_dups(t(spark, sf_dir, "documents"))
+    docs = fan(
+        spark, _with_planted_near_dups(t(spark, sf_dir, "documents")),
+        sf_dir, "documents", "doc_id", width=8,
+    )
     return simhash_near_dups(docs, max_hamming=3)
 
 
@@ -330,7 +340,10 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + BPE-ish token count (curation text analysis)."""
-    docs = t(spark, sf_dir, "documents")
+    # r8: fanned scan (tfan) — the regex battery is pure per-row CPU and
+    # single-tasked on the one-row-group fixture (6.0 s -> ~0.9 s at sf1.0,
+    # with the translate()-based bpe count landing another ~0.3 s).
+    docs = tfan(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         lang_id(F.col("text")).alias("lang_guess"),

@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 
 from ..extraction.html import extract_pages, extract_udf
 from ..extraction.pages import generate_pages
-from .relational import query, r6, t
+from .relational import query, r6, t, tfan
 
 # boilerplate template around the payload — nav/ads/footer must be stripped
 _PRE = (
@@ -37,8 +37,11 @@ _POST = (
     "SELECT doc_id, text AS extracted FROM documents",
 )
 def extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate strip recovers the payload byte-for-byte (north rule)."""
-    docs = t(spark, sf_dir, "documents")
+    """Boilerplate strip recovers the payload byte-for-byte (north rule).
+
+    r8: fanned scan (tfan) — the Arrow extract UDF ran in one Python worker
+    on the single-row-group fixture (2.7 s -> 0.6 s at sf1.0, 32 workers)."""
+    docs = tfan(spark, sf_dir, "documents")
     html = F.encode(F.concat(F.lit(_PRE), F.col("text"), F.lit(_POST)), "utf-8")
     return docs.select(
         "doc_id", extract_udf(html).getField("text").alias("extracted")

@@ -16,6 +16,8 @@ shuffles, what broadcasts.
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
 from typing import Callable, Dict, NamedTuple, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -43,6 +45,77 @@ def query(name: str, oracle: Optional[str] = None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Fan-out ceiling: above this on-disk size the file splitter already hands
+# every core a split (and a fan shuffle would move real bytes), so tfan()
+# degrades to t(). Parameterized so a cluster job can lower/raise it; the
+# local default (1 GiB) is also a sane cluster value — a sub-GiB table is
+# always cheap to reshuffle once before CPU-dense work.
+_FAN_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_FAN_MAX_BYTES", str(1 << 30)))
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk footprint of a fixture table; -1 when unknowable cheaply
+    (non-local path) — callers then assume 'big' and skip the fan."""
+    p = Path(sf_dir) / f"{name}.parquet"
+    try:
+        if p.is_file():
+            return p.stat().st_size
+        if p.is_dir():
+            return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+    except OSError:
+        pass
+    return -1
+
+
+def tfan(spark: SparkSession, sf_dir: str, name: str, *part_cols: str) -> DataFrame:
+    """``t()`` plus a scale-adaptive fan-out for CPU-dense per-row work
+    (guide §2.5 input skew: 'one huge unsplittable file ... repartition
+    immediately after the read').
+
+    Small single-file parquet tables carry one row group, so the byte-range
+    splitter cannot parallelize the scan: every regexp/Arrow-UDF projection
+    downstream runs in ONE task (measured at sf1.0: doc_lang_quality 5.5 s
+    single-task vs 1.1 s fanned on 32 cores). The fan repartitions to
+    ``defaultParallelism`` — by ``part_cols`` when given (a hash exchange:
+    deterministic under task retry, no sortBeforeRepartition pass, and
+    reusable by a downstream shuffle on the same key), else by the first
+    column (the tables' unique id, so the hash spreads evenly).
+
+    Scale-adaptive: tables above SPARK_GRAFT_FAN_MAX_BYTES (or of
+    unknowable size, e.g. object-store paths) are returned unfanned — at
+    real corpus sizes the scan itself yields a split per core and the
+    extra shuffle would cost more than it buys.
+    """
+    return fan(spark, t(spark, sf_dir, name), sf_dir, name, *part_cols)
+
+
+def fan(
+    spark: SparkSession,
+    df: DataFrame,
+    sf_dir: str,
+    name: str,
+    *part_cols: str,
+    width: int | None = None,
+) -> DataFrame:
+    """Fan-out for a frame DERIVED from table ``name`` (union with planted
+    rows, pre-wrapped projections, ...): same guard and partitioning rules
+    as ``tfan`` but applied after the derivation, so a multi-branch plan
+    gets ONE exchange instead of one per branch.
+
+    ``width`` caps the fan below defaultParallelism — for operators that
+    persist the fanned frame and re-read it in several small downstream
+    stages (MinHash/SimHash), where per-task overhead on a many-partition
+    cached frame costs more than the extra UDF parallelism buys (measured
+    sf1.0 cold/warm: unfanned 12.0/1.1 s, width 8 -> 2.9/1.1 s, width 32
+    -> 4.6/1.5 s)."""
+    nbytes = _table_bytes(sf_dir, name)
+    if 0 <= nbytes <= _FAN_MAX_BYTES:
+        cols = list(part_cols) or [df.columns[0]]
+        n = min(width or 1 << 30, spark.sparkContext.defaultParallelism)
+        df = df.repartition(n, *[F.col(c) for c in cols])
+    return df
 
 
 def r6(col):
@@ -183,12 +256,20 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_rank_in_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 per-group top-k via row_number (ref query.py:69-91 rank display).
 
-    Scale: one shuffle on o_custkey; skewed customers handled by AQE."""
+    Scale: one shuffle on o_custkey; skewed customers handled by AQE.
+
+    r8: small scans are fanned BY THE WINDOW KEY (tfan), so the explicit
+    exchange doubles as the window's required distribution and every
+    per-partition sort runs in parallel. The few-row-group base plan
+    instead serializes WindowGroupLimit's pre-shuffle sort into 1-2 scan
+    tasks: measured 1.39 s -> 0.58 s at sf1.0. At real scale tfan
+    degrades to the base plan, keeping the map-side group-limit pruning
+    that matters when shuffle bytes dominate."""
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        t(spark, sf_dir, "orders")
+        tfan(spark, sf_dir, "orders", "o_custkey")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select(
@@ -337,7 +418,7 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_japanese_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4-X6: script counting + cultural indicators + confidence formula
     (ref image_processor.py:255-305). Pure codegen'd regexp arithmetic."""
-    return t(spark, sf_dir, "documents").select(
+    return tfan(spark, sf_dir, "documents").select(
         "doc_id", r6(TX.japanese_confidence(F.col("text"))).alias("jp_confidence")
     )
 
@@ -364,7 +445,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = F.regexp_count(
         F.lower(text), F.lit(r"\b(?:the|a|an|and|or|of|to|in|is|it)\b")
     )
-    return t(spark, sf_dir, "documents").select(
+    return tfan(spark, sf_dir, "documents").select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_punct.alias("n_punct"),
@@ -386,7 +467,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: whitespace-canonicalized, case-folded content
     hash (near-exact dedup key — catches reflowed/recased copies)."""
     canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    return t(spark, sf_dir, "documents").select(
+    return tfan(spark, sf_dir, "documents").select(
         "doc_id", F.sha2(canon, 256).alias("fingerprint")
     )
 
@@ -420,13 +501,17 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join + TakeOrderedAndProject).
 
     Scale: query side is 1 row → broadcast; cosine is codegen'd array math;
-    top-k never sorts globally. For query *batches* use the LSH variant."""
+    top-k never sorts globally. For query *batches* use the LSH variant.
+    r8: corpus side fanned (tfan) so the cosine projection parallelizes —
+    the single-row-group scan otherwise scores every vector in one task
+    (0.56 s -> 0.30 s at sf1.0); the query-vector scan stays unfanned."""
     emb = t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding")
     )
     return (
-        emb.filter(F.col("vec_id") != 0)
+        tfan(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",

@@ -49,6 +49,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold (guide §3.1/§9): skips both sort passes. Measured
+        # on q3 (lineitem ⋈ filtered orders): 0.93 s -> 0.76 s at sf1.0.
+        # OOM risk of an oversized build side is bounded by the same size
+        # conditions + AQE skew split; SPARK_GRAFT_PREFER_SMJ=true restores
+        # the sort-merge default for memory-tight clusters.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
