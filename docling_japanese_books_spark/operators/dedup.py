@@ -182,9 +182,22 @@ def minhash_signature(
 
 
 def signature_similarity(sig_a: Column, sig_b: Column) -> Column:
-    """Fraction of agreeing signature positions ≈ Jaccard similarity."""
-    agree = F.size(
-        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    """Fraction of agreeing signature positions ≈ Jaccard similarity.
+
+    r8 (guide §1.2 per-task work): one ``aggregate`` over the zipped pair
+    instead of zip_with -> filter -> size, which materialized two
+    intermediate arrays per pair (measured on the 247k-pair sf1.0
+    candidate set: 1.27 s -> 0.94 s for the verify stage). ``when/otherwise``
+    keeps the old null semantics: a null element (or a length-mismatch
+    pad) compares unequal and is not counted, exactly as the filtered
+    zip_with dropped its null — pinned by
+    tests/test_dedup.py::test_signature_similarity_aggregate_parity."""
+    agree = F.aggregate(
+        F.zip_with(
+            sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return agree.cast("double") / F.size(sig_a)
 

@@ -49,6 +49,41 @@ def test_minhash_finds_near_dups_not_random(spark, docs):
     assert (0, 3) not in found and (3, 4) not in found
 
 
+def test_signature_similarity_aggregate_parity(spark):
+    """r8 rewrite (aggregate over zip_with instead of zip_with->filter->size)
+    must match the original formulation on every edge the old one defined:
+    full/partial/zero agreement, null elements (uncounted), and
+    length-mismatched arrays (zip_with's null padding compares unequal)."""
+    from pyspark.sql import functions as F
+
+    from docling_japanese_books_spark.operators.dedup import signature_similarity
+
+    def old_similarity(a, b):
+        return (
+            F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
+            .cast("double")
+            / F.size(a)
+        )
+
+    rows = [
+        ([1, 2, 3, 4], [1, 2, 3, 4]),  # identical
+        ([1, 2, 3, 4], [1, 9, 3, 9]),  # half agree
+        ([1, 2, 3, 4], [9, 9, 9, 9]),  # none agree
+        ([1, None, 3, 4], [1, None, 3, 4]),  # null element: never counted
+        ([1, 2, 3, 4], [1, 2]),  # shorter b: pad nulls compare unequal
+        ([1, 2], [1, 2, 3, 4]),  # shorter a: denominator stays size(a)
+        # (empty arrays divide by zero under ANSI in BOTH formulations;
+        # real signatures always carry m elements)
+    ]
+    df = spark.createDataFrame(rows, "a array<int>, b array<int>")
+    got = df.select(
+        signature_similarity(F.col("a"), F.col("b")).alias("new"),
+        old_similarity(F.col("a"), F.col("b")).alias("old"),
+    ).collect()
+    for r in got:
+        assert r.new == r.old, (r.new, r.old)
+
+
 def test_minhash_checkpoint_mode_same_pairs(spark, docs):
     """checkpoint=True (the 100 TB path: localCheckpoint instead of persist)
     must produce exactly the same pairs, and the plan downstream of the
