@@ -224,17 +224,37 @@ def video_near_dups(
     payloads."""
     from ..operators.dedup import hamming_near_dups
 
+    if n_frames > 64:
+        raise ValueError(
+            f"video_near_dups: n_frames={n_frames} > 64 would collide in the "
+            "6-bit frame slot of the packed (video_id, frame_idx) key"
+        )
     sigs = video_frame_hashes(
         videos, n_frames=n_frames, payload_col=payload_col, id_col=id_col
     )
+    # r8 (ADVICE): shift-based pack with an explicit range guard instead of
+    # ``id * 64`` / ``floor(id / 64)`` — the multiply wraps silently (or
+    # throws mid-job under ANSI) once |doc_id| >= 2^57, exactly the range of
+    # xxhash64-derived ids, and the double division loses exactness above
+    # 2^53. assert_true fails the job LOUDLY on an out-of-range id;
+    # shiftrightunsigned unpacks exactly for every guarded value.
+    in_range = (F.col(id_col) >= 0) & (F.col(id_col) < F.lit(1 << 57))
+    guard = F.assert_true(
+        in_range,
+        F.concat(
+            F.lit("video_near_dups: doc_id out of packable range [0, 2^57): "),
+            F.col(id_col).cast("string"),
+        ),
+    )
+    fid = F.shiftleft(F.col(id_col), 6) + F.col("frame_idx")
     packed = sigs.select(
-        (F.col(id_col) * 64 + F.col("frame_idx")).alias("_fid"), "dhash"
+        F.when(guard.isNull(), fid).alias("_fid"), "dhash"
     )
     frame_pairs = hamming_near_dups(
         packed, hash_col="dhash", id_col="_fid", max_hamming=max_hamming
     )
-    va = F.floor(F.col("id_a") / 64).cast("long")
-    vb = F.floor(F.col("id_b") / 64).cast("long")
+    va = F.shiftrightunsigned(F.col("id_a"), 6).cast("long")
+    vb = F.shiftrightunsigned(F.col("id_b"), 6).cast("long")
     return (
         frame_pairs.select(va.alias("vid_a"), vb.alias("vid_b"))
         .filter(F.col("vid_a") < F.col("vid_b"))

@@ -102,7 +102,14 @@ def margin_knn_mine(
     best-margin candidate at ``margin >= threshold``; with
     ``mutual=True`` the pair must be the target's best-margin candidate
     as well. Ties on the rounded margin break toward the smaller
-    partner id (deterministic on any engine/partitioning)."""
+    partner id (deterministic on any engine/partitioning).
+
+    CONTRACT (r8, ADVICE): ids must be NUMERIC — the argmax tie-break
+    negates the partner-id column inside a max(struct), which fails the
+    numeric cast under ANSI (or nulls the tie key otherwise) for string
+    ids such as the url-as-id convention. Mining pipelines with string
+    ids should map them through ``F.xxhash64`` (or a row_number frame)
+    before calling and join the originals back on the hashed key."""
     scores = margin_knn_scores(
         src, tgt, k=k, src_id=src_id, tgt_id=tgt_id, vec_col=vec_col
     )

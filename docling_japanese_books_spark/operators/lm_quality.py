@@ -205,6 +205,14 @@ def perplexity_buckets(
     the operator oracle-checkable, and costs one aggregate either way.
 
     Returns ``scored`` plus ``(score_col rounded, bucket_col)``.
+
+    CONTRACT (r8, ADVICE): rows with a NULL ``score_col`` fall through
+    every threshold comparison to the FINAL label (the drop bucket) —
+    identically in Spark and in any ANSI replay (NULL <= t is NULL in
+    both, so the when-chain's otherwise fires). Scorers in this package
+    never emit NULL; a caller piping an outside scorer who needs
+    unscored rows distinguishable should filter/flag NULLs before
+    bucketing.
     """
     if len(labels) != len(boundaries) + 1:
         raise ValueError("need exactly one more label than boundaries")

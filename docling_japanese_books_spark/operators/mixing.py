@@ -75,7 +75,15 @@ def temperature_mix(
 ) -> DataFrame:
     """Filter ``df`` to the temperature-mixed sample: deterministic
     per-domain downsampling under the plan's keep_prob (pass ``plan`` to
-    reuse a precomputed/persisted plan frame). Adds no columns."""
+    reuse a precomputed/persisted plan frame). Adds no columns.
+
+    CONTRACT (r8, ADVICE): the plan attaches by INNER join on
+    ``domain_col`` — rows whose domain is absent from a caller-supplied
+    plan, and rows with a NULL domain, are DROPPED (equivalent to
+    keep_prob 0). Callers reusing a stale/partial plan must ensure it
+    covers every live domain (``plan.join(df, domain_col, 'right_anti')``
+    is the coverage check); the default in-function plan is computed from
+    ``df`` itself and always covers."""
     if plan is None:
         plan = temperature_mix_plan(df, domain_col, alpha, target_total)
     thr = F.floor(F.col("keep_prob") * _BUCKETS).cast("long")

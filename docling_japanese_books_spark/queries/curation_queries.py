@@ -138,7 +138,7 @@ def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    corpus = emb.filter(F.col("vec_id") >= 3)
+    corpus = tfan(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 3)
     out = topk_bruteforce(queries, corpus, k=3)
     # round score BEFORE ranking so float ulps can't flip tie order vs duckdb
     return out.select("query_id", "vec_id", r6(F.col("score")).alias("score"), "rank")
@@ -253,7 +253,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    corpus = emb.filter(F.col("vec_id") >= 3)
+    corpus = tfan(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 3)
     return topk_lsh(queries, corpus, dim=64, k=3, n_planes=4).select(
         "query_id", "vec_id", r6(F.col("score")).alias("score"), "rank"
     )
@@ -309,7 +309,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    corpus = emb.filter(F.col("vec_id") >= 3)
+    corpus = tfan(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 3)
     return topk_ivf(queries, corpus, dim=64, k=3, n_cells=16, n_probe=4).select(
         "query_id", "vec_id", r6(F.col("score")).alias("score"), "rank"
     )
@@ -421,7 +421,7 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-rule boundary cases are pinned by tests/test_textstats.py."""
     from ..operators.textstats import gopher_rules
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     g = gopher_rules(F.col("text"))
     return docs.select(
         "doc_id",
@@ -496,7 +496,7 @@ def doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule battery's boundary cases are pinned by tests/test_c4.py."""
     from ..operators.c4 import c4_signals
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     s = c4_signals(F.col("text"))
     return docs.select(
         "doc_id",
@@ -523,7 +523,7 @@ def doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def image_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 image manifest over a synthesized 2-images-per-doc binary table
     (payloads derived from text so DuckDB can reproduce the hashes)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     images = docs.select(
         "doc_id",
         F.explode(
@@ -548,7 +548,7 @@ def doc_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and rolling-hash math are pinned by tests/test_fingerprint_media.py."""
     from ..operators.fingerprint import fingerprint_documents, fingerprint_overlap
 
-    fps = fingerprint_documents(t(spark, sf_dir, "documents"))
+    fps = fingerprint_documents(tfan(spark, sf_dir, "documents"))
     a, b = fps.alias("a"), fps.alias("b")
     return a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id")).select(
         F.col("a.doc_id").alias("id_a"),
@@ -565,7 +565,7 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled frame/window features (stubbed codec, real batch shape)."""
     from ..multimodal.media import extract_media_features
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = docs.select(
         "doc_id",
         F.lit(0).alias("media_index"),
@@ -582,7 +582,7 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature plumbing (stubbed decode, real Spark
     batch shape). Rows-only."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     images = docs.select(
         "doc_id",
         F.lit(0).alias("image_index"),
@@ -645,7 +645,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch shape pinned by tests/test_fingerprint_media.py."""
     from ..multimodal.media import sample_frames
 
-    docs = t(spark, sf_dir, "documents").limit(200)
+    docs = fan(spark, t(spark, sf_dir, "documents").limit(200), sf_dir, "documents")
     media = docs.select(
         "doc_id",
         F.lit(0).alias("media_index"),
@@ -669,7 +669,7 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting). Rows-only."""
     from ..multimodal.media import resize_images
 
-    docs = t(spark, sf_dir, "documents").limit(200)
+    docs = fan(spark, t(spark, sf_dir, "documents").limit(200), sf_dir, "documents")
     images = docs.select(
         "doc_id",
         F.lit(0).alias("image_index"),
@@ -738,7 +738,7 @@ def png_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     e = roundtrip(F.col("doc_id"))
     return docs.select(
         "doc_id",
@@ -811,7 +811,7 @@ def tiff_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     e = roundtrip(F.col("doc_id"))
     return docs.select(
         "doc_id",
@@ -874,7 +874,7 @@ def webp_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     e = roundtrip(F.col("doc_id"))
     return docs.select(
         "doc_id",
@@ -947,7 +947,7 @@ def jpeg_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     e = roundtrip(F.col("doc_id"))
     return docs.select(
         "doc_id",
@@ -1012,7 +1012,7 @@ def gif_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     e = roundtrip(F.col("doc_id"))
     return docs.select(
         "doc_id",
@@ -1074,7 +1074,7 @@ def wav_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     e = roundtrip(F.col("doc_id"))
     return docs.select(
         "doc_id",
@@ -1147,7 +1147,7 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicate_substring_spans
 
     L = 40
-    docs = t(spark, sf_dir, "documents").select(
+    docs = tfan(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -1197,7 +1197,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=np.float64,
     )
     books = train_pq_codebooks(sample, m=8, k=16, n_iters=3)
-    corpus = emb.filter(F.col("vec_id") >= 3)
+    corpus = tfan(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 3)
     codes = corpus.select(
         "vec_id", pq_encode_udf(books)(F.col("embedding")).alias("codes")
     )
@@ -1220,7 +1220,7 @@ def doc_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_quality_clf.py."""
     from ..operators.quality_clf import quality_score_udf, self_supervised_model
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     w, b = self_supervised_model(docs, sample_size=100, dim=1 << 14)
     return docs.select(
         "doc_id",
@@ -1240,7 +1240,7 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the published worked example."""
     from ..operators.bpe import encode_corpus, train_bpe
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     merges = train_bpe(docs, n_merges=60, max_words=20_000)
     out = encode_corpus(docs, merges)
     return out.select(
@@ -1262,7 +1262,7 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-word pair stays oracle-checked via doc_repetition_stats."""
     from ..operators.textstats import gopher_repetition_rules
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     g = gopher_repetition_rules(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1288,7 +1288,7 @@ def doc_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward-backward example."""
     from ..operators.unigram import encode_corpus_unigram, train_unigram
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     model = train_unigram(docs, vocab_size=400, max_words=20_000, em_iters=2)
     out = encode_corpus_unigram(docs, model)
     return out.select(
@@ -1351,7 +1351,7 @@ def avi_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     e = roundtrip(F.col("doc_id"))
     return docs.select(
         "doc_id",
@@ -1402,7 +1402,7 @@ def dedup_paragraphs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered reassembly independently in DuckDB."""
     from ..operators.dedup import dedup_paragraphs
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     aug = docs.select(
         "doc_id",
         F.concat(
@@ -1451,7 +1451,7 @@ def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow path used at scale is pinned equal by tests/test_textstats."""
     from ..operators.lm_quality import lm_quality_score, train_trigram_counts
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     tri, bi = train_trigram_counts(docs.filter(F.col("doc_id") < 50))
     return lm_quality_score(docs, tri, bi).select(
         "doc_id", r6(F.col("lm_score")).alias("lm_score")
@@ -1523,7 +1523,7 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_trigram_counts,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     tri, bi = train_trigram_counts(docs.filter(F.col("doc_id") < 50))
     scored = lm_quality_score(docs, tri, bi)
     return perplexity_buckets(scored).select("doc_id", "lm_score", "bucket")
@@ -1594,7 +1594,7 @@ def doc_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape and rule semantics are pinned by tests/test_urlfilter.py."""
     from ..operators.urlfilter import url_filter_verdicts
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     d = F.col("doc_id")
     url = F.concat(
         F.lit("https://"),
@@ -1722,7 +1722,7 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.Series(out)
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     images = docs.select("doc_id", make_image(F.col("doc_id")).alias("payload"))
     return image_near_dups(images, max_hamming=3).select(
         "id_a", "id_b", "hamming"
@@ -1765,7 +1765,7 @@ def audio_afp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(samples_to_wav(samples, 8000))
         return pd.Series(out)
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     audio = docs.select("doc_id", make_wav(F.col("doc_id")).alias("payload"))
     from ..multimodal.afp import audio_near_dups
 
@@ -1800,7 +1800,7 @@ def video_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(frames_to_avi(frames))
         return pd.Series(out)
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     videos = docs.select("doc_id", make_avi(F.col("doc_id")).alias("payload"))
     return video_near_dups(
         videos, n_frames=8, max_hamming=3, min_matching_frames=4

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sampling import hash_split, pack_sequences, stratified_sample
-from .relational import query, r6, t
+from .relational import fan, query, r6, t, tfan
 
 _B = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000"
 
@@ -123,7 +123,7 @@ def chunk_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chunking import chunk_documents
 
     chunks = chunk_documents(
-        t(spark, sf_dir, "documents"), method="words", max_chunk_length=120
+        tfan(spark, sf_dir, "documents"), method="words", max_chunk_length=120
     )
     packed = pack_sequences(chunks, budget=64)
     return packed.select(
@@ -177,7 +177,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         reconstruction_mse,
     )
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = tfan(spark, sf_dir, "embeddings")
     scale = int8_scale(F.col("embedding"))
     out = emb.select("vec_id", scale.alias("_scale"), "embedding").select(
         "vec_id",
@@ -243,7 +243,7 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     same regexp_replace chain."""
     from ..operators.textstats import pii_counts, redact_pii
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     aug = docs.select(
         "doc_id",
         F.concat(
@@ -301,7 +301,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     on each document; the oracle replays the list arithmetic."""
     from ..operators.textstats import duplicate_line_fraction, top_word_fraction
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     aug = docs.select(
         "doc_id",
         F.concat(
@@ -346,7 +346,7 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the whole tokenize/slide/overlap algebra independently."""
     from ..operators.decontaminate import flag_contaminated
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     benchmark = docs.filter(F.col("doc_id") < 5).select("text")
     return flag_contaminated(docs, benchmark, n=5).select(
         "doc_id", "contaminated"
@@ -365,7 +365,7 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference in tests/test_dsir.py — stricter than a 6-dp value hash."""
     from ..operators.dsir import dsir_select, dsir_weights, ngram_logprob_model
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = tfan(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") < 50)
     tm = ngram_logprob_model(target, buckets=4096)
     rm = ngram_logprob_model(docs, buckets=4096)

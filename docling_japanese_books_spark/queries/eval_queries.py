@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, improvement_pct
 from ..operators.chunking import chunk_documents
 from ..operators.embedding import embed_text, embed_udf
-from .relational import query, r6, t
+from .relational import query, r6, t, tfan
 
 # the 8 fixed Japanese evaluation queries (ref embedding_evaluation.py:202-211)
 JAPANESE_TEST_QUERIES = [
@@ -64,7 +64,7 @@ def jp_specificity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: queries are 8 literal vectors -> broadcast; partial max per
     partition then tiny final agg — no corpus shuffle at any size."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = tfan(spark, sf_dir, "embeddings")
     qdf = spark.createDataFrame(
         _QUERY_VECS, "query_id int, qvec array<float>"
     )
@@ -188,7 +188,7 @@ def doc_markdown_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference builder (ref image_processor.py:235-253): document text plus
     an '## Extracted Images' section of ![caption](hash.png) references —
     pure string algebra, sink-ready."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     refs = F.concat(
         F.lit("![image 0]("),
         F.sha2(F.col("text"), 256),
@@ -214,7 +214,7 @@ def evaluation_study(spark: SparkSession, sf_dir: str) -> DataFrame:
     One DataFrame program replaces the reference's nested Python loops; the
     strategies dimension is a unionByName of three chunker plans over one
     scan."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     strategies = [("words_200", "words", 200), ("words_400", "words", 400), ("simple_500", "simple", 500)]
     per_strategy = []
     for name, method, size in strategies:
@@ -271,7 +271,7 @@ def chunk_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     to_json (the reference writes python repr, a bug SURVEY §2.11 says not
     to port). One JSON line per chunk, ready for .write.text()."""
     chunks = chunk_documents(
-        t(spark, sf_dir, "documents"), method="words", max_chunk_length=200
+        tfan(spark, sf_dir, "documents"), method="words", max_chunk_length=200
     )
     return chunks.select(
         "doc_id",

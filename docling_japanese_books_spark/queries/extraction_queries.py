@@ -58,7 +58,7 @@ def extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16 extraction metrics: status histogram + kept-block count. On the
     template corpus every row extracts 'ok' with exactly 1 kept block."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     html = F.encode(F.concat(F.lit(_PRE), F.col("text"), F.lit(_POST)), "utf-8")
     ext = docs.select(extract_udf(html).alias("e"))
     return (
@@ -148,7 +148,7 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     e = roundtrip(F.col("doc_id"), F.col("text"), F.col("lang"))
     return docs.select(
         "doc_id",
@@ -203,7 +203,7 @@ def wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     e = roundtrip(F.col("doc_id"), F.col("text"))
     return docs.select(
         "doc_id",
@@ -290,7 +290,7 @@ def wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     parsed = docs.select(
         "doc_id", roundtrip(F.col("doc_id")).alias("w")
     ).select(
@@ -380,7 +380,7 @@ def wat_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     green via the in-window q3_shipping_priority / corpus_stats rows;
     convergence and dangling semantics are pinned by
     tests/test_linkgraph.py."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     host = lambda expr: F.concat(  # noqa: E731
         F.lit("host"), expr.cast("string"), F.lit(".example")
     )
@@ -418,7 +418,7 @@ def wat_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed-point arithmetic is pinned to 1e-12 against a numpy
     adjacency-matrix reference in tests/test_linkgraph.py, which is
     stricter than the 6-dp value hash an SQL twin could carry."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     host = lambda expr: F.concat(  # noqa: E731
         F.lit("host"), expr.cast("string"), F.lit(".example")
     )
@@ -502,7 +502,7 @@ def charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     e = roundtrip(F.col("doc_id"))
     return docs.select(
         "doc_id",

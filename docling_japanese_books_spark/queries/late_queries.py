@@ -23,7 +23,7 @@ from ..operators.late_chunking import (
     map_spans_to_tokens,
     pool_token_spans,
 )
-from .relational import query, r6, t
+from .relational import query, r6, t, tfan
 
 _SEQ = 16  # tokens per document in the fixture-token harness
 _CW = 120  # chunk width (chars) for the arithmetic chunk spans
@@ -86,7 +86,7 @@ def late_chunking_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (late_chunking.py:252-256) -> mean pooling over a token-embedding table
     (fixture ``embeddings`` rows assigned by (doc_id*31+tok_idx) mod N)."""
     docs = (
-        t(spark, sf_dir, "documents")
+        tfan(spark, sf_dir, "documents")
         .select("doc_id", F.length("text").cast("long").alias("doc_len"))
         .filter(F.col("doc_len") > 0)
     )
@@ -148,7 +148,7 @@ def late_chunking_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free mapInPandas. Rows-only — pooled vectors are pinned by
     tests/test_late_chunking.py goldens; the digest keeps columns hashable."""
     lc = late_chunk(
-        t(spark, sf_dir, "documents"),
+        tfan(spark, sf_dir, "documents"),
         method="words",
         max_chunk_length=200,
         token_chars=16,
@@ -173,7 +173,7 @@ def late_vs_traditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     +199.7% metric, README.md:286-291, computed by
     embedding_evaluation.py's improvement formula). Rows-only: the stub
     embedder's numbers are pinned by pytest, not meaningful as quality."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     w = Window.partitionBy("doc_id").orderBy("chunk_index")
 
     def adjacent_mean(chunked: DataFrame, score_name: str) -> DataFrame:
@@ -224,7 +224,7 @@ def chunk_by_model_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the walk itself is pinned by tests/test_structure_strategy.py."""
     from ..operators.strategy import chunk_with_strategy
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     out, used = chunk_with_strategy(docs, "BAAI/bge-m3", max_chunk_length=200)
     return out.select(
         "doc_id",

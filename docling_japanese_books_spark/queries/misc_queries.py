@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.enrichment import enrich_chunks_with_images
 from ..operators.salting import salted_agg
-from .relational import query, r6, t
+from .relational import query, r6, t, tfan
 
 
 @query(
@@ -260,7 +260,7 @@ def sitemap_robots_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only; protocol semantics are pinned by tests/test_sitemaps.py."""
     from ..sources.sitemaps import parse_sitemaps, robots_check_udf
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     d = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     n_urls = (d % 4 + 1).cast("int")
@@ -448,7 +448,7 @@ def url_host_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB SQL."""
     from ..functions.urls import etld1_of, host_of, url_normalize
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     d = F.col("doc_id")
     url = F.concat(
         F.lit("HTTPS://WWW.Site"),
@@ -505,7 +505,7 @@ def cdx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle never re-parses, so a parsing defect cannot cancel out."""
     from ..sources.cdx import parse_cdxj
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     d = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     ts14 = F.concat(
@@ -556,7 +556,7 @@ def feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_feeds.py."""
     from ..sources.feeds import parse_feeds
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     d = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     day = (d % 27 + 1).cast("int")
@@ -643,7 +643,7 @@ def warc_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    docs = tfan(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     parsed = docs.select(
         "doc_id", roundtrip(F.col("doc_id")).alias("r")
     ).select(

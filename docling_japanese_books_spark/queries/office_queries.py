@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .relational import query, t
+from .relational import query, t, tfan
 
 _ROUNDTRIP_SCHEMA = T.StructType(
     [
@@ -73,7 +73,7 @@ def docx_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact roundtrip; the oracle independently predicts the paragraph count
     from the synthesis geometry. Ref parity: processor.py:285-319 converts
     .docx via Docling; config.py:52-66 lists the accepted suffixes."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace("text", r"\s+", " "))
     parsed = (
         docs.select("doc_id", norm.alias("text"))
@@ -133,7 +133,7 @@ def pptx_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts + relationships), decoded back in numeric slide order. The
     oracle predicts slide/paragraph counts from the geometry; text_match
     asserts the exact roundtrip including slide ordering."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace("text", r"\s+", " "))
     parsed = (
         docs.select("doc_id", norm.alias("text"))

@@ -13,7 +13,7 @@ from ..extraction.pdf import (
     parse_pdf_udf_capped,
 )
 from ..extraction.pdf_bytes import text_to_pdf
-from .relational import query, t
+from .relational import fan, query, t, tfan
 
 
 @F.pandas_udf(T.BinaryType())
@@ -48,7 +48,7 @@ def pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decoder strips spans, so a trailing/double space or empty text in
     a regenerated fixture would otherwise silently break the oracle's
     prediction."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace("text", r"\s+", " "))
     parsed = (
         docs.select("doc_id", norm.alias("text"))
@@ -82,7 +82,7 @@ def pdf_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     positioned spans (one column, ascending y) serialized as layout-IR JSON
     entirely JVM-side; the parser must reconstruct exactly the words in
     order — oracle is a pure string transform of the source text."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     # to_json escapes the payload, so quote/backslash characters in the
     # document text cannot break the synthesized layout-IR literal
     spans = F.array_join(
@@ -147,7 +147,7 @@ def pdf_vertical_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return text.map(one)
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     return docs.filter(
         F.length(F.trim(F.regexp_replace("text", r"\s+", " "))) > 0
     ).select("doc_id", vertical_roundtrip(F.col("text")).alias("extracted"))
@@ -157,7 +157,7 @@ def pdf_vertical_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pdf_layout_vertical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertical-text reading order over synthesized two-column pages
     (rows-only; column semantics pinned by tests/test_pdf_layout.py)."""
-    docs = t(spark, sf_dir, "documents").limit(100)
+    docs = fan(spark, t(spark, sf_dir, "documents").limit(100), sf_dir, "documents")
     # two vertical columns: first half of words in the right column (x=500),
     # second half in the left column (x=100) — reading order = original order
     words = F.split(F.col("text"), " ")
@@ -206,7 +206,7 @@ def pdf_pages_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document gets a synthesized (doc_id % 5 + 1)-page layout IR; the
     capped parser processes at most 3 pages and reports status='truncated'
     for longer documents — the truncation metric is a first-class status."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     n_pages = (F.col("doc_id") % 5 + 1).cast("int")
     ir = F.encode(
         F.to_json(

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.structure import chunk_by_structure
-from .relational import query, t
+from .relational import query, t, tfan
 
 _N_SECTIONS = 3
 
@@ -45,7 +45,7 @@ def chunk_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 hierarchical structure chunking (ref processor.py:86-98,511:
     HierarchicalChunker over the document tree): heading-tree parse of
     synthesized sectioned HTML -> contextualized chunks with heading paths."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tfan(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n = F.size(words)
 

@@ -172,3 +172,41 @@ def test_video_near_dups_trim_and_brightness(spark):
         ).collect()
     }
     assert (0, 2) not in strict
+
+
+def test_video_near_dups_large_ids_exact(spark):
+    """r8 id-packing fix: ids above 2^53 (where the old floor(x/64) double
+    division lost exactness) pack/unpack exactly via shifts; ids >= 2^57
+    fail LOUDLY instead of silently wrapping and mispairing."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from docling_japanese_books_spark.multimodal.phash import video_near_dups
+
+    big_a = (1 << 56) + 12345  # > 2^53, still packable
+    big_b = (1 << 56) + 99999
+    base = _vframes(7)
+    rows = [
+        (big_a, _avi(base)),
+        (big_b, _avi(base)),  # identical twin at a huge id
+        (7, _avi(_vframes(99))),  # unrelated small id
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r.id_a, r.id_b): r.n_frame_matches
+        for r in video_near_dups(
+            df, n_frames=8, max_hamming=3, min_matching_frames=4
+        ).collect()
+    }
+    assert (big_a, big_b) in got  # ids recovered EXACTLY, not off-by-ulp
+    assert all(7 not in pair for pair in got)
+
+    over = spark.createDataFrame(
+        [(1 << 57, _avi(base)), ((1 << 57) + 1, _avi(base))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Py4JJavaError, match="packable range"):
+        video_near_dups(over, n_frames=8, min_matching_frames=1).collect()
+
+    with pytest.raises(ValueError, match="n_frames"):
+        video_near_dups(df, n_frames=65)

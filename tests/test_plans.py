@@ -100,11 +100,16 @@ def test_extraction_column_pruning(spark):
 
 
 def test_late_chunking_single_python_stage(plans):
-    # the whole late-chunking text path is ONE mapInPandas stage: no
-    # shuffle, no duplicated Python evaluation
+    # the whole late-chunking text path is ONE mapInPandas stage with no
+    # shuffle of its output and no duplicated Python evaluation. (r8: the
+    # scan below it may carry the adaptive fan-out Exchange — that sits
+    # UNDER the Python stage, i.e. later in the plan text, and disappears
+    # at real input sizes; what must stay impossible is an Exchange ABOVE
+    # the map stage, which would shuffle chunk text.)
     p = plans("late_chunking_stub")
     assert p.count("MapInPandas") == 1
-    assert "Exchange" not in p  # shuffle-free map stage
+    above = p.split("MapInPandas")[0]
+    assert "Exchange" not in above  # nothing shuffles the map output
 
 
 def test_structural_chunker_single_python_stage(plans):
@@ -117,7 +122,10 @@ def test_pdf_real_roundtrip_fused_single_stage(plans):
     # duplicated into injected filters
     p = plans("pdf_real_roundtrip")
     assert p.count("ArrowEvalPython") == 1
-    assert "Exchange" not in p
+    # r8: the adaptive scan fan-out may add an Exchange BELOW the Python
+    # stage (source text only, gone at real input sizes); the PDF bytes
+    # the UDF emits must still never cross one
+    assert "Exchange" not in p.split("ArrowEvalPython")[0]
 
 
 def test_minhash_lsh_banded_join_is_slim(plans):
@@ -180,7 +188,9 @@ def test_codec_roundtrips_single_python_stage(plans):
                  "avi_video_roundtrip"):
         p = plans(name)
         assert p.count("ArrowEvalPython") == 1, name
-        assert "Exchange" not in p, name
+        # r8: scan fan-out Exchange may sit below the UDF; the synthesized
+        # media bytes above it must never cross an exchange
+        assert "Exchange" not in p.split("ArrowEvalPython")[0], name
 
 
 def test_snapshot_time_travel_single_window_shuffle(plans):
