@@ -54,6 +54,46 @@ def test_token_counts(spark, tdf):
     assert out[0][1] >= out[0][0]  # subword proxy >= word count
 
 
+def test_bpe_count_translate_rewrite_matches_regex(spark, tdf):
+    """r8 rewrite (translate() arithmetic + single letter-class regex) must
+    be bit-identical to the original 3-branch alternation on the fixture
+    corpus AND on the edge shapes the arithmetic depends on: letter runs of
+    every residue mod 4, digits, CJK (every char a 'symbol'), the exact
+    Java \\s set including vertical tab, and null/empty text."""
+    orig = F.coalesce(
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")),
+        F.lit(0),
+    )
+    edge_rows = [
+        (100, "a ab abc abcd abcde abcdefgh abcdefghi"),
+        (101, "12 34x5"),
+        (102, "これは漢字とカタカナ、句読点。"),
+        (103, "mixed 日本語 and english123!"),
+        (104, "a\x0bb\tc\nd\fe\rf g"),  # every Java \s char + letters
+        (105, None),
+        (106, "    "),
+    ]
+    edf = spark.createDataFrame(edge_rows, "id long, text string")
+    for df in (tdf, edf):
+        got = df.select(
+            "id",
+            bpe_ish_token_count(F.col("text")).alias("new"),
+            orig.alias("old"),
+        ).collect()
+        for r in got:
+            assert r.new == r.old, (r.id, r.new, r.old)
+    # corpus-level: zero mismatching rows on the real fixture documents
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_bad = (
+        docs.select(
+            (bpe_ish_token_count(F.col("text")) != orig).alias("d")
+        )
+        .filter("d")
+        .count()
+    )
+    assert n_bad == 0
+
+
 def test_quality_score_bounds(spark, tdf):
     out = tdf.select(quality_score(F.col("text")).alias("q")).collect()
     assert all(0.0 <= r.q <= 1.0 for r in out)
